@@ -1,0 +1,12 @@
+from .schedules import (  # noqa: F401
+    DiffusionSchedule,
+    get_named_beta_schedule,
+    make_schedule,
+    space_timesteps,
+)
+from .diffusion import (  # noqa: F401
+    Diffusion,
+    MeanType,
+    VarType,
+    create_diffusion,
+)

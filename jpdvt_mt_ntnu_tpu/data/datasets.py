@@ -1,0 +1,206 @@
+"""Puzzle dataset family: MET artworks, TEXMET textiles, generic folders,
+and a synthetic set for tests/benchmarks.
+
+TPU-native rework of reference image_model/datasets.py. Datasets return
+float32 NHWC arrays in [-1, 1]; all scrambling happens on device.
+
+Behavioral parity:
+- MET: seeded deterministic split (test 2000, then val 1000 of the rest,
+  random_state 42 — datasets.py:35-36); train aug = resize 398 / random crop
+  398 / hflip / color jitter; eval = center crop (datasets.py:49-63); then
+  the gapped-collage ``rand_erode`` (datasets.py:73-88). The reference's
+  ``list.remove``-while-iterating extension filter bug (datasets.py:30-32)
+  is NOT replicated (SURVEY.md §7.4).
+- TEXMET: split files ``{split}_files.txt``, missing-file filtering,
+  oversize thumbnail, vertical flips, parametric patch size 64/96 for
+  192/288, black-image fallback on decode error (datasets.py:106-248).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from . import transforms as T
+
+_IMG_EXTS = (".jpg", ".jpeg", ".png")
+
+
+def _split_indices(n: int, seed: int = 42,
+                   test_size: int = 2000, val_size: int = 1000):
+    """Deterministic shuffle split matching sklearn train_test_split
+    (datasets.py:35-36)."""
+    from sklearn.model_selection import train_test_split
+
+    idx = list(range(n))
+    train, test = train_test_split(idx, test_size=test_size, random_state=seed)
+    train, val = train_test_split(train, test_size=val_size, random_state=seed)
+    return train, val, test
+
+
+class _Base:
+    image_files: list[str]
+
+    def __len__(self) -> int:
+        return len(self.image_files)
+
+    def _load(self, path: str) -> Image.Image:
+        return Image.open(path).convert("RGB")
+
+
+class METDataset(_Base):
+    """MET artworks with gapped-collage synthesis (datasets.py:19-104).
+
+    Output: (288, 288, 3) in [-1, 1] — a 3x3 collage of 96px random crops
+    taken from 100px regions separated by 48px gaps, simulating eroded
+    piece borders.
+    """
+
+    def __init__(self, image_dir: str, split: str, seed: int = 42):
+        self.split = split
+        subdirs = sorted(os.listdir(image_dir))[:3]
+        files: list[str] = []
+        for d in subdirs:
+            full = os.path.join(image_dir, d)
+            files += [os.path.join(full, k) for k in sorted(os.listdir(full))
+                      if k.lower().endswith(".jpg")]
+        self.all_files = files
+        train, val, test = _split_indices(len(files), seed=seed)
+        pick = {"train": train, "val": val, "test": test}[split]
+        self.image_files = [files[i] for i in pick]
+        self._rng = np.random.default_rng(seed)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        img = self._load(self.image_files[i])
+        img = T.resize_shorter(img, 398)
+        if self.split == "train":
+            img = T.random_crop(img, 398, self._rng)
+            if self._rng.random() < 0.5:
+                img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            img = T.color_jitter(img, self._rng)
+        else:
+            img = T.center_crop(img, 398)
+        arr = T.normalize(T.to_array(img))
+        return rand_erode(arr, self._rng, n=3, patch_out=96, region=100, gap=48)
+
+
+class TEXMETDataset(_Base):
+    """TEXMET textiles (datasets.py:106-248)."""
+
+    def __init__(self, data_dir: str, split: str, image_size: int = 288,
+                 seed: int = 0):
+        self.split = split
+        self.image_size = image_size
+        split_file = os.path.join(data_dir, f"{split}_files.txt")
+        if not os.path.exists(split_file):
+            raise FileNotFoundError(f"Split file not found: {split_file}")
+        with open(split_file) as f:
+            names = [os.path.basename(line.strip()) for line in f if line.strip()]
+        images_dir = os.path.join(data_dir, "images")
+        candidates = [os.path.join(images_dir, n) for n in names]
+        self.image_files = [p for p in candidates if os.path.exists(p)]
+        self.missing = len(candidates) - len(self.image_files)
+        # patch size 64 for 192, 96 for 288 (datasets.py:192-200)
+        self.patch_out = 64 if image_size == 192 else 96
+        self._rng = np.random.default_rng(seed)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        out_size = self.patch_out * 3
+        try:
+            img = self._load(self.image_files[i])
+            img = T.safe_resize(img)
+            img = T.resize_shorter(img, 398)
+            if self.split == "train":
+                img = T.random_crop(img, 398, self._rng)
+                if self._rng.random() < 0.5:
+                    img = img.transpose(Image.FLIP_LEFT_RIGHT)
+                if self._rng.random() < 0.2:
+                    img = img.transpose(Image.FLIP_TOP_BOTTOM)
+                img = T.color_jitter(img, self._rng, brightness=0.3,
+                                     contrast=0.3, saturation=0.3, hue=0.05)
+            else:
+                img = T.center_crop(img, 398)
+            arr = T.normalize(T.to_array(img))
+            return rand_erode(arr, self._rng, n=3, patch_out=self.patch_out,
+                              region=self.patch_out + self.patch_out // 2,
+                              gap=self.patch_out // 2)
+        except Exception:
+            # Black-image fallback (datasets.py:245-248) — but at the
+            # configured size rather than the reference's hardcoded 288.
+            return np.zeros((out_size, out_size, 3), dtype=np.float32)
+
+
+class ImageFolderDataset(_Base):
+    """Recursive image folder with the reference inference transform
+    (center_crop_arr + normalize, inference.py:197-201)."""
+
+    def __init__(self, root: str, image_size: int,
+                 extensions: Sequence[str] = _IMG_EXTS):
+        self.image_size = image_size
+        files = []
+        for dirpath, _, names in os.walk(root):
+            for n in sorted(names):
+                if n.lower().endswith(tuple(extensions)):
+                    files.append(os.path.join(dirpath, n))
+        self.image_files = sorted(files)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        img = T.center_crop_arr(self._load(self.image_files[i]), self.image_size)
+        return T.normalize(T.to_array(img))
+
+
+class SyntheticPuzzles:
+    """Deterministic structured images for tests/benchmarks (no disk IO).
+
+    Smooth random Fourier textures — solvable in principle (each piece has
+    distinct content), fixed shapes, reproducible.
+    """
+
+    def __init__(self, image_size: int = 192, n: int = 1024, seed: int = 0):
+        self.image_size = image_size
+        self.n = n
+        self.seed = seed
+        self.image_files = [f"synthetic_{i:06d}.png" for i in range(n)]
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        rng = np.random.default_rng(self.seed * 1000003 + i)
+        s = self.image_size
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
+        img = np.zeros((s, s, 3), dtype=np.float32)
+        for _ in range(6):
+            fx, fy = rng.uniform(0.5, 6.0, 2)
+            ph = rng.uniform(0, 2 * np.pi, 3)
+            amp = rng.uniform(0.2, 1.0, 3)
+            wave = np.sin(2 * np.pi * (fx * xx + fy * yy)[..., None] + ph) * amp
+            img += wave.astype(np.float32)
+        img /= np.abs(img).max() + 1e-6
+        return img.astype(np.float32)
+
+
+def rand_erode(arr: np.ndarray, rng: np.random.Generator, *, n: int = 3,
+               patch_out: int = 96, region: int = 100, gap: int = 48) -> np.ndarray:
+    """Gapped-collage puzzle synthesis (datasets.py:73-88,205-223).
+
+    From an (H, W, C) array, take a random ``patch_out`` crop from each of
+    the n x n ``region``-sized cells separated by ``gap`` px, and tile them
+    into an (n*patch_out, n*patch_out, C) collage.
+    """
+    c = arr.shape[-1]
+    out = np.zeros((n * patch_out, n * patch_out, c), dtype=arr.dtype)
+    stride = region + gap
+    for i in range(n):
+        for j in range(n):
+            top, left = i * stride, j * stride
+            cell = arr[top:top + region, left:left + region]
+            dy = int(rng.integers(0, cell.shape[0] - patch_out + 1))
+            dx = int(rng.integers(0, cell.shape[1] - patch_out + 1))
+            out[i * patch_out:(i + 1) * patch_out,
+                j * patch_out:(j + 1) * patch_out] = (
+                cell[dy:dy + patch_out, dx:dx + patch_out])
+    return out

@@ -1,0 +1,143 @@
+"""Batched jigsaw solver: scramble -> diffuse -> recover -> metrics.
+
+The reference solves puzzles one image at a time in Python
+(reference: image_model/inference.py:249-365, ~1.25 s/img on the cluster
+GPU). Here the ENTIRE pipeline — scramble, the 250-step reverse diffusion,
+code pooling, Manhattan distances, greedy assignment, metrics — is one
+jitted XLA program over a whole batch. Throughput comes from (a) whole-loop
+``lax.scan``, (b) large batches over 144-token sequences, (c) optional bf16,
+(d) data-parallel sharding over the mesh (SURVEY.md §7.3 item 5).
+
+Faithfulness notes:
+- The noise template is created ONCE and reused for every puzzle, exactly
+  like the reference (inference.py:221-222 creates ``time_emb_noise`` once).
+- Default sampler mode is "faithful" (the parity target); "fast" is the
+  mathematically-equivalent 1-step shortcut; "iterative"/"ddim" are the
+  corrected chains.
+- The reference runs the model in train() mode at inference
+  (inference.py:213-214, "BATCH_NORM_TRAIN_MODE"); the DiT has no dropout
+  or batch-norm, so train/eval are identical — our apply is deterministic,
+  which reproduces that behavior rather than "fixing" it silently.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.diffusion import Diffusion
+from ..ops import assignment, jigsaw
+from ..utils.pos_embed import grid_code
+
+
+@dataclasses.dataclass
+class SolveResult:
+    pred: np.ndarray            # (B, P) predicted slot per scrambled piece
+    indices: np.ndarray         # (B, P) ground-truth scramble
+    puzzle_correct: np.ndarray  # (B,) int
+    patch_matches: np.ndarray   # (B,) int
+
+    @property
+    def puzzle_accuracy(self) -> float:
+        return float(self.puzzle_correct.mean())
+
+    @property
+    def patch_accuracy(self) -> float:
+        return float(self.patch_matches.mean() / self.pred.shape[-1])
+
+
+class PuzzleSolver:
+    """Owns the jitted solve program for one (model, grid, steps) config."""
+
+    def __init__(self, model, model_config, diffusion: Diffusion, *,
+                 grid_size: int = 3, mode: str = "faithful",
+                 assignment_method: str = "greedy", seed: int = 0,
+                 donate_condition: bool = False):
+        cfg = model_config
+        self.model = model
+        self.cfg = cfg
+        self.diffusion = diffusion
+        self.grid = grid_size
+        self.mode = mode
+        self.assignment_method = assignment_method
+        self.sub = cfg.input_size // (cfg.patch_size * grid_size)
+        if self.sub < 1:
+            raise ValueError("grid finer than model tokens")
+        self.canon = jnp.asarray(grid_code(cfg.code_dim, grid_size))
+        # Fixed noise template, one per solver (inference.py:221-222).
+        self.noise_template = jax.random.normal(
+            jax.random.key(seed), (1, cfg.num_tokens, cfg.code_dim))
+        self._rng = jax.random.key(seed + 1)
+
+        donate = (1,) if donate_condition else ()
+        self._solve_codes = jax.jit(self._solve_codes_impl, donate_argnums=donate)
+        self._solve_and_score = jax.jit(self._solve_and_score_impl)
+        self._scramble = jax.jit(self._scramble_impl)
+
+    # ------------------------------------------------------------- programs
+
+    def _model_fn(self, params):
+        def fn(condition, t_orig, code):
+            return self.model.apply(params, condition, t_orig, code)
+        return fn
+
+    def _solve_codes_impl(self, params, x_scrambled):
+        b = x_scrambled.shape[0]
+        noise = jnp.broadcast_to(
+            self.noise_template, (b,) + self.noise_template.shape[1:])
+        final = self.diffusion.p_sample_loop(
+            self._model_fn(params), x_scrambled, noise, self._rng,
+            mode=self.mode, clip_denoised=False)
+        pieces = jigsaw.tokens_to_piece_code(final, self.grid, self.sub)
+        dist = assignment.manhattan_distances(pieces, self.canon)
+        pred = assignment.greedy_permutation(dist)
+        return pred, dist
+
+    def _scramble_impl(self, x, indices):
+        return jigsaw.scramble(x, indices, self.grid)
+
+    def _solve_and_score_impl(self, params, x, indices):
+        x_scr = jigsaw.scramble(x, indices, self.grid)
+        pred, dist = self._solve_codes_impl(params, x_scr)
+        puzzle, patch = assignment.permutation_metrics(pred, indices)
+        return pred, puzzle, patch, dist
+
+    # ------------------------------------------------------------------ API
+
+    def scramble(self, x: jnp.ndarray, rng: jax.Array):
+        """Random per-image scramble. x: (B,H,W,C) -> (scrambled, indices)."""
+        p = self.grid * self.grid
+        indices = jigsaw.random_permutations(rng, x.shape[0], p)
+        return self._scramble(x, indices), indices
+
+    def solve(self, params, x_scrambled: jnp.ndarray) -> np.ndarray:
+        """Predict slot-per-piece for scrambled images. -> (B, P) int."""
+        pred, dist = self._solve_codes(params, x_scrambled)
+        if self.assignment_method == "hungarian":
+            return assignment.hungarian_permutation(np.asarray(dist))
+        return np.asarray(pred)
+
+    def evaluate(self, params, x: jnp.ndarray, rng: jax.Array) -> SolveResult:
+        """Scramble clean images, solve, score (the inference.py main loop)."""
+        p = self.grid * self.grid
+        indices = jigsaw.random_permutations(rng, x.shape[0], p)
+        if self.assignment_method == "hungarian":
+            x_scr = self._scramble(x, indices)
+            _, dist = self._solve_codes(params, x_scr)
+            pred = assignment.hungarian_permutation(np.asarray(dist))
+            eq = pred == np.asarray(indices)
+            return SolveResult(pred, np.asarray(indices),
+                               eq.all(-1).astype(np.int32),
+                               eq.sum(-1).astype(np.int32))
+        pred, puzzle, patch, _ = self._solve_and_score(params, x, indices)
+        return SolveResult(np.asarray(pred), np.asarray(indices),
+                           np.asarray(puzzle), np.asarray(patch))
+
+    def reconstruct(self, x_scrambled: jnp.ndarray, pred: np.ndarray) -> jnp.ndarray:
+        """Re-place pieces by the predicted permutation (inference.py:321-327)."""
+        return jigsaw.unscramble(x_scrambled, jnp.asarray(pred), self.grid)

@@ -1,0 +1,279 @@
+"""Diffusion Vision Transformer (DiT) with adaLN-Zero, dual-headed for JPDVT.
+
+TPU-native Flax rebuild of the reference backbone
+(reference: image_model/models.py:145-293):
+
+- Patch embedding is an exact reshape+matmul (stride == kernel makes the
+  conv equivalent), so the whole network is dense matmuls on the MXU.
+- Attention runs through the Pallas fused kernel (ops/attention.py) with an
+  XLA fallback.
+- Dual output heads: unpatchified image reconstruction AND an 8-dim
+  positional-code prediction per token. As in the reference (models.py:288),
+  the code head reads the *final layer output* (p^2*C dims). The reference
+  hardcodes that head at 768-in (models.py:177), which only works for
+  patch_size 16 / 3 channels; here it is parameterized so JPDVT-S/T are
+  actually usable (documented reference defect, SURVEY.md §7.4).
+- Weight init matches models.py:187-225: xavier-uniform linears, N(0, 0.02)
+  timestep/code-head weights, zero adaLN modulations and zero final linear.
+- The fixed 2-D sin-cos pos_embed (models.py:196-198) is a compile-time
+  constant, not a parameter (it is frozen in the reference).
+
+Compute dtype is configurable (bf16 by default on TPU for speed, fp32 for
+parity runs); parameters are always fp32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import multihead_attention
+from ..utils.pos_embed import get_2d_sincos_pos_embed, timestep_embedding
+
+Dtype = Any
+
+_xavier = nn.initializers.xavier_uniform()
+_normal02 = nn.initializers.normal(stddev=0.02)
+_zeros = nn.initializers.zeros_init()
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTConfig:
+    input_size: int = 192
+    patch_size: int = 16
+    in_channels: int = 3
+    hidden_size: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    code_dim: int = 8
+    code_head_hidden: int = 64
+    learn_sigma: bool = False
+    dtype: Dtype = jnp.float32       # compute dtype
+    param_dtype: Dtype = jnp.float32
+    attn_impl: Optional[str] = None  # None = auto (pallas on TPU)
+
+    @property
+    def out_channels(self) -> int:
+        return self.in_channels * 2 if self.learn_sigma else self.in_channels
+
+    @property
+    def tokens_per_side(self) -> int:
+        return self.input_size // self.patch_size
+
+    @property
+    def num_tokens(self) -> int:
+        return self.tokens_per_side ** 2
+
+    @property
+    def patch_dim(self) -> int:
+        return self.patch_size * self.patch_size * self.out_channels
+
+
+def modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    return x * (1 + scale[:, None]) + shift[:, None]
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, kernel_init=_xavier, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=True)
+        return nn.Dense(self.out, kernel_init=_xavier, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="fc2")(x)
+
+
+class Attention(nn.Module):
+    """timm-compatible MHA: fused qkv projection + output projection."""
+
+    hidden_size: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    attn_impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, d = x.shape
+        head_dim = self.hidden_size // self.num_heads
+        qkv = nn.Dense(3 * self.hidden_size, kernel_init=_xavier,
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = [jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)]  # (B,H,N,Dh)
+        o = multihead_attention(q, k, v, impl=self.attn_impl)
+        o = jnp.moveaxis(o, 1, 2).reshape(b, n, self.hidden_size)
+        return nn.Dense(self.hidden_size, kernel_init=_xavier, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="proj")(o)
+
+
+class DiTBlock(nn.Module):
+    """Pre-LN transformer block with adaLN-Zero conditioning (models.py:101-122)."""
+
+    hidden_size: int
+    num_heads: int
+    mlp_ratio: float
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    attn_impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, c):
+        mod = nn.Dense(6 * self.hidden_size, kernel_init=_zeros, bias_init=_zeros,
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="adaLN_modulation")(nn.silu(c))
+        (shift_msa, scale_msa, gate_msa,
+         shift_mlp, scale_mlp, gate_mlp) = jnp.split(mod, 6, axis=-1)
+        ln = lambda name: nn.LayerNorm(  # noqa: E731
+            epsilon=1e-6, use_scale=False, use_bias=False,
+            dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        attn = Attention(self.hidden_size, self.num_heads, dtype=self.dtype,
+                         param_dtype=self.param_dtype, attn_impl=self.attn_impl,
+                         name="attn")
+        mlp = Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size,
+                  dtype=self.dtype, param_dtype=self.param_dtype, name="mlp")
+        x = x + gate_msa[:, None] * attn(modulate(ln("norm1")(x), shift_msa, scale_msa))
+        x = x + gate_mlp[:, None] * mlp(modulate(ln("norm2")(x), shift_mlp, scale_mlp))
+        return x
+
+
+class FinalLayer(nn.Module):
+    """adaLN-modulated projection to patch pixels (models.py:125-142)."""
+
+    hidden_size: int
+    patch_dim: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c):
+        mod = nn.Dense(2 * self.hidden_size, kernel_init=_zeros, bias_init=_zeros,
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="adaLN_modulation")(nn.silu(c))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        x = nn.LayerNorm(epsilon=1e-6, use_scale=False, use_bias=False,
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="norm_final")(x)
+        x = modulate(x, shift, scale)
+        return nn.Dense(self.patch_dim, kernel_init=_zeros, bias_init=_zeros,
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="linear")(x)
+
+
+class TimestepEmbedder(nn.Module):
+    """Sinusoidal timestep -> MLP embedding (models.py:27-64)."""
+
+    hidden_size: int
+    freq_size: int = 256
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t):
+        emb = timestep_embedding(t, self.freq_size).astype(self.dtype)
+        emb = nn.Dense(self.hidden_size, kernel_init=_normal02, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="fc1")(emb)
+        emb = nn.silu(emb)
+        return nn.Dense(self.hidden_size, kernel_init=_normal02, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="fc2")(emb)
+
+
+class DiT(nn.Module):
+    """Dual-headed DiT for jigsaw diffusion.
+
+    __call__(x, t, code):
+      x:    (B, H, W, C)  scrambled image (conditioning), NHWC
+      t:    (B,)          original-chain timestep indices (0..999)
+      code: (B, N, code_dim) noisy per-token positional code
+    returns (image_out (B, H, W, C_out), code_out (B, N, code_dim))
+    """
+
+    config: DiTConfig
+
+    @nn.compact
+    def __call__(self, x, t, code):
+        cfg = self.config
+        b = x.shape[0]
+        n_side = cfg.tokens_per_side
+        p = cfg.patch_size
+        dt = cfg.dtype
+
+        # Patch embed: exact conv-as-matmul (stride == kernel).
+        x = x.astype(dt).reshape(b, n_side, p, n_side, p, cfg.in_channels)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, cfg.num_tokens, -1)
+        x = nn.Dense(cfg.hidden_size, kernel_init=_xavier, dtype=dt,
+                     param_dtype=cfg.param_dtype, name="x_embedder")(x)
+
+        code_emb = nn.Dense(cfg.hidden_size, kernel_init=_normal02, dtype=dt,
+                            param_dtype=cfg.param_dtype, name="code_in")(code.astype(dt))
+
+        pos = jnp.asarray(
+            get_2d_sincos_pos_embed(cfg.hidden_size, n_side), dtype=dt)
+        x = x + code_emb + pos[None]
+
+        c = TimestepEmbedder(cfg.hidden_size, dtype=dt,
+                             param_dtype=cfg.param_dtype, name="t_embedder")(t)
+
+        for i in range(cfg.depth):
+            x = DiTBlock(cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
+                         dtype=dt, param_dtype=cfg.param_dtype,
+                         attn_impl=cfg.attn_impl, name=f"block_{i}")(x, c)
+
+        x = FinalLayer(cfg.hidden_size, cfg.patch_dim, dtype=dt,
+                       param_dtype=cfg.param_dtype, name="final_layer")(x, c)
+
+        # Positional-code head reads the final-layer output, as the
+        # reference does (models.py:288-290).
+        h = nn.Dense(cfg.code_head_hidden, kernel_init=_normal02, dtype=dt,
+                     param_dtype=cfg.param_dtype, name="code_out1")(x)
+        code_out = nn.Dense(cfg.code_dim, kernel_init=_normal02, dtype=dt,
+                            param_dtype=cfg.param_dtype, name="code_out2")(nn.silu(h))
+
+        # Unpatchify (models.py:227-240), NHWC.
+        img = x.reshape(b, n_side, n_side, p, p, cfg.out_channels)
+        img = img.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, cfg.input_size, cfg.input_size, cfg.out_channels)
+
+        return img.astype(jnp.float32), code_out.astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# Config registry — full parity with reference models.py:373-424.
+# --------------------------------------------------------------------------
+
+def _cfg(depth, hidden, patch, heads):
+    return dict(depth=depth, hidden_size=hidden, patch_size=patch, num_heads=heads)
+
+
+DIT_CONFIGS: dict[str, dict] = {
+    "DiT-XL/2": _cfg(28, 1152, 2, 16), "DiT-XL/4": _cfg(28, 1152, 4, 16),
+    "DiT-XL/8": _cfg(28, 1152, 8, 16),
+    "DiT-L/2": _cfg(24, 1024, 2, 16), "DiT-L/4": _cfg(24, 1024, 4, 16),
+    "DiT-L/8": _cfg(24, 1024, 8, 16),
+    "DiT-B/2": _cfg(12, 768, 2, 12), "DiT-B/4": _cfg(12, 768, 4, 12),
+    "DiT-B/8": _cfg(12, 768, 8, 12),
+    "DiT-S/2": _cfg(12, 384, 2, 6), "DiT-S/4": _cfg(12, 384, 4, 6),
+    "DiT-S/8": _cfg(12, 384, 8, 6),
+    "JPDVT": _cfg(12, 768, 16, 12),
+    "JPDVT-S": _cfg(12, 768, 32, 12),
+    "JPDVT-T": _cfg(12, 768, 64, 12),
+}
+
+
+def create_model(name: str, input_size: int, **overrides) -> tuple[DiT, DiTConfig]:
+    """Instantiate a registered config (reference DiT_models dict, models.py:418)."""
+    if name not in DIT_CONFIGS:
+        raise KeyError(f"unknown model {name!r}; choose from {sorted(DIT_CONFIGS)}")
+    cfg = DiTConfig(input_size=input_size, **{**DIT_CONFIGS[name], **overrides})
+    return DiT(cfg), cfg

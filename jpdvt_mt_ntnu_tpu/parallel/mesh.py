@@ -1,0 +1,76 @@
+"""Device-mesh construction — the framework's entire "communication backend".
+
+The reference's distributed layer is NCCL process groups + DDP wrappers
+(reference: image_model/train_JPDVT.py:111,231; inference_ddp.py:77-87). On
+TPU none of that exists as user code: we build a `jax.sharding.Mesh` over
+ICI (and DCN between slices), annotate shardings, and XLA inserts the
+collectives. This module is the explicit, testable home for that decision
+(SURVEY.md §5.8).
+
+Axes:
+- ``data``   batch data parallelism (the only parallelism the reference has);
+- ``model``  optional tensor parallelism over attention heads / MLP hidden
+             (not needed for parity — the flagship is ~90M params — but
+             exposed so the same train step scales, SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshSpec:
+    """How to carve the available devices into (data, model) axes."""
+
+    data: int = -1   # -1 = all remaining devices
+    model: int = 1
+
+    def resolve(self, n_devices: int) -> tuple[int, int]:
+        model = max(1, self.model)
+        data = self.data if self.data > 0 else n_devices // model
+        if data * model != n_devices:
+            raise ValueError(
+                f"mesh {data}x{model} does not cover {n_devices} devices")
+        return data, model
+
+
+def make_mesh(spec: MeshSpec | None = None, devices=None) -> Mesh:
+    """Build a 2-D ('data', 'model') mesh over the given devices.
+
+    Uses ``mesh_utils.create_device_mesh`` when possible so the axes align
+    with the physical ICI topology (contiguous model groups ride the fastest
+    links); falls back to a plain reshape on virtual/CPU devices.
+    """
+    spec = spec or MeshSpec()
+    devices = list(devices if devices is not None else jax.devices())
+    data, model = spec.resolve(len(devices))
+    try:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_device_mesh((data, model),
+                                                  devices=devices)
+    except Exception:
+        dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    """Per-data-shard batch (reference's per-rank batch, train_JPDVT.py:311)."""
+    n = mesh.shape["data"]
+    if global_batch % n:
+        raise ValueError(f"global batch {global_batch} not divisible by data={n}")
+    return global_batch // n
+
+
+def process_shard(items: list, process_index: int | None = None,
+                  process_count: int | None = None) -> list:
+    """Strided multi-host work sharding, the TPU equivalent of the
+    reference's ``paths[rank::world_size]`` (inference_ddp.py:325)."""
+    i = jax.process_index() if process_index is None else process_index
+    n = jax.process_count() if process_count is None else process_count
+    return items[i::n]

@@ -1,0 +1,94 @@
+"""The jitted training step.
+
+One XLA program does what the reference spreads across Python + NCCL
+(reference: image_model/train_JPDVT.py:335-372): timestep draw, jigsaw
+shuffle/mask, q-sampling, forward, loss, backward, AdamW update, EMA. Under
+a batch-sharded input the gradient reduction over the 'data' mesh axis is
+inserted by XLA (the DDP allreduce disappears). Donated state makes the
+update in-place in HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.diffusion import Diffusion
+from .state import TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainTask:
+    """Static description of the jigsaw training task.
+
+    Matches the reference's training_losses call site
+    (train_JPDVT.py:357-367): block_size = image_size // grid,
+    patch_size = model patch, one shared permutation per batch.
+    """
+
+    grid_size: int = 3
+    block_size: int = 64
+    patch_size: int = 16
+    add_mask: bool = False
+    shared_perm: bool = True
+    ema_decay: float = 0.9999
+    crop_pieces: int | None = None  # ImageNet --crop: inner piece crop px
+
+
+def make_train_step(model, diffusion: Diffusion, optimizer: optax.GradientTransformation,
+                    task: TrainTask, piece_code: jnp.ndarray,
+                    donate: bool = True) -> Callable:
+    """Build ``train_step(state, images, rng) -> (state, metrics)``.
+
+    images: (B, H, W, C) clean images in [-1, 1], NHWC, batch-sharded or not.
+    rng: a jax PRNG key; it is folded with the step counter internally so
+    passing the same key every call still gives fresh randomness.
+    """
+
+    def loss_fn(params, images, t, rng):
+        def model_fn(x, t_orig, code):
+            return model.apply(params, x, t_orig, code)
+
+        out = diffusion.training_losses(
+            model_fn, images, t, piece_code, rng,
+            block_size=task.block_size, patch_size=task.patch_size,
+            add_mask=task.add_mask, grid_size=task.grid_size,
+            shared_perm=task.shared_perm)
+        return out["loss"].mean(), out
+
+    def train_step(state: TrainState, images, rng):
+        from ..ops import jigsaw
+
+        step_rng = jax.random.fold_in(rng, state.step)
+        k_t, k_loss = jax.random.split(step_rng)
+        if task.crop_pieces is not None:
+            images = jigsaw.inner_crop_pieces(images, task.grid_size,
+                                              task.crop_pieces)
+        b = images.shape[0]
+        # Uniform timesteps, as the reference draws torch.randint
+        # (train_JPDVT.py:354). Spaced chain == full chain for training.
+        t = jax.random.randint(k_t, (b,), 0, diffusion.schedule.T)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, images, t, k_loss)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = optax.incremental_update(params, state.ema_params,
+                                       1.0 - task.ema_decay)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               ema_params=ema, opt_state=opt_state)
+        metrics = {
+            "loss": loss,
+            "code_mse": aux["code_mse"].mean(),
+            "img_mse": aux["img_mse"].mean(),
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,136 @@
+"""One typed config for every entry point, with CLI overrides.
+
+The reference mixes argparse, module-level constants with cluster-absolute
+paths, and shell env (SURVEY.md §5.6). Here a single dataclass tree feeds
+training, evaluation and serving; any field is overridable on the command
+line as ``--section.field=value``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Optional, Sequence
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    name: str = "JPDVT"
+    image_size: int = 192
+    compute_dtype: str = "bfloat16"   # "float32" for parity runs
+    attn_impl: Optional[str] = None   # None = auto
+
+
+@dataclasses.dataclass
+class DiffusionConfig:
+    timestep_respacing: str = ""      # training default: full 1000 steps
+    sampling_steps: int = 250         # eval respacing (inference.py:48)
+    noise_schedule: str = "linear"
+    predict_xstart: bool = True
+    sigma_small: bool = True
+    sampler_mode: str = "faithful"    # faithful | fast | iterative | ddim
+
+
+@dataclasses.dataclass
+class TaskConfig:
+    grid_size: int = 3
+    add_mask: bool = False
+    shared_perm: bool = True
+    crop: bool = False                # ImageNet inner-piece crop path
+
+
+@dataclasses.dataclass
+class DataConfig:
+    dataset: str = "synthetic"        # imagenet | met | texmet | synthetic
+    data_path: str = ""
+    num_workers: int = 8
+    global_batch_size: int = 96       # train_JPDVT.py default (argparse :651)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    epochs: int = 500
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    ema_decay: float = 0.9999
+    grad_clip: Optional[float] = None
+    log_every: int = 100
+    ckpt_every: int = 50_000
+    global_seed: int = 0
+    results_dir: str = "results"
+    resume: str = ""                  # ckpt dir to resume from
+    wandb: bool = False
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    checkpoint: str = ""
+    batch_size: int = 64
+    seed: int = 0
+    assignment: str = "greedy"        # greedy | hungarian
+    use_ema: bool = True
+    logs_dir: str = "logs"
+    results_dir: str = "eval_out"
+    save_images: bool = False
+    limit: int = 0                    # 0 = all
+
+
+@dataclasses.dataclass
+class MeshConfig:
+    data: int = -1
+    model: int = 1
+
+
+@dataclasses.dataclass
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    diffusion: DiffusionConfig = dataclasses.field(default_factory=DiffusionConfig)
+    task: TaskConfig = dataclasses.field(default_factory=TaskConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+
+def _coerce(value: str, typ: Any) -> Any:
+    if typ in (Optional[float], float):
+        return float(value)
+    if typ in (Optional[int], int):
+        return int(value)
+    if typ is bool:
+        return value.lower() in ("1", "true", "yes", "on")
+    if typ in (Optional[str], str):
+        return value
+    return json.loads(value)
+
+
+def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
+    """Apply ``section.field=value`` strings (also accepts --prefixed)."""
+    for item in overrides:
+        item = item.lstrip("-")
+        if "=" not in item:
+            raise ValueError(f"override must be section.field=value: {item!r}")
+        path, value = item.split("=", 1)
+        parts = path.split(".")
+        obj = cfg
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        field = parts[-1]
+        typ = {f.name: f.type for f in dataclasses.fields(obj)}.get(field)
+        if typ is None:
+            raise KeyError(f"unknown config field {path!r}")
+        resolved = {"Optional[float]": Optional[float], "Optional[int]": Optional[int],
+                    "Optional[str]": Optional[str], "float": float, "int": int,
+                    "bool": bool, "str": str}.get(str(typ).replace("typing.", ""), typ)
+        setattr(obj, field, _coerce(value, resolved))
+    return cfg
+
+
+def parse_config(argv: Sequence[str]) -> Config:
+    return apply_overrides(Config(), list(argv))

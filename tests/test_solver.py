@@ -1,0 +1,93 @@
+"""End-to-end solver pipeline with an oracle model: accuracy must be 1.0."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jpdvt_mt_ntnu_tpu.core.diffusion import create_diffusion
+from jpdvt_mt_ntnu_tpu.eval.solver import PuzzleSolver
+from jpdvt_mt_ntnu_tpu.models import create_model
+from jpdvt_mt_ntnu_tpu.ops import jigsaw
+from jpdvt_mt_ntnu_tpu.utils.pos_embed import grid_code
+
+
+class _OracleModel:
+    """Fake model that reads the scramble off the conditioning image.
+
+    We hide the permutation in the image itself: each piece's pixels are
+    constant = its original slot id. The 'model' recovers per-token codes
+    from those pixels, which is exactly what a perfectly-trained DiT does.
+    """
+
+    def __init__(self, cfg, grid):
+        self.cfg = cfg
+        self.grid = grid
+        self.sub = cfg.input_size // (cfg.patch_size * grid)
+        self.canon = jnp.asarray(grid_code(cfg.code_dim, grid))
+
+    def apply(self, params, condition, t, code):
+        piece_px = condition.shape[1] // self.grid
+        pieces = jigsaw.to_pieces(condition, self.grid)
+        slot_ids = pieces[:, :, 0, 0, 0].astype(jnp.int32)  # (B, P)
+        piece_codes = self.canon[slot_ids]                  # (B, P, d)
+        toks = jigsaw.piece_code_to_tokens(piece_codes, self.grid, self.sub)
+        del piece_px
+        return condition, toks
+
+
+def _make(grid=3, size=48, mode="faithful", steps="10", method="greedy"):
+    _, cfg = create_model("JPDVT", input_size=size, depth=1, hidden_size=32,
+                          num_heads=2, attn_impl="xla")
+    model = _OracleModel(cfg, grid)
+    diff = create_diffusion(steps)
+    return PuzzleSolver(model, cfg, diff, grid_size=grid, mode=mode,
+                        assignment_method=method), cfg
+
+
+def _slot_images(b, size, grid):
+    """Images whose pieces are filled with their slot index."""
+    p = grid * grid
+    ids = jnp.arange(p, dtype=jnp.float32).reshape(1, p, 1, 1, 1)
+    piece_px = size // grid
+    pieces = jnp.broadcast_to(ids, (b, p, piece_px, piece_px, 3))
+    return jigsaw.from_pieces(pieces, grid)
+
+
+def test_oracle_solver_perfect_faithful():
+    solver, cfg = _make(mode="faithful")
+    x = _slot_images(4, 48, 3)
+    res = solver.evaluate(None, x, jax.random.key(0))
+    assert res.puzzle_accuracy == 1.0
+    assert res.patch_accuracy == 1.0
+
+
+def test_oracle_solver_perfect_fast_and_hungarian():
+    for mode in ("fast",):
+        for method in ("greedy", "hungarian"):
+            solver, _ = _make(mode=mode, method=method)
+            x = _slot_images(3, 48, 3)
+            res = solver.evaluate(None, x, jax.random.key(1))
+            assert res.puzzle_accuracy == 1.0, (mode, method)
+
+
+def test_reconstruct_restores_original():
+    solver, _ = _make()
+    x = _slot_images(2, 48, 3)
+    scr, idx = solver.scramble(x, jax.random.key(2))
+    pred = solver.solve(None, scr)
+    rec = solver.reconstruct(scr, pred)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-6)
+
+
+def test_solver_with_real_dit_runs():
+    """Untrained tiny DiT end-to-end: valid permutations, not accuracy."""
+    model, cfg = create_model("JPDVT", input_size=48, depth=1, hidden_size=32,
+                              num_heads=2, attn_impl="xla")
+    params = model.init(jax.random.key(0), jnp.zeros((1, 48, 48, 3)),
+                        jnp.array([0]), jnp.zeros((1, cfg.num_tokens, 8)))
+    diff = create_diffusion("5")
+    solver = PuzzleSolver(model, cfg, diff, grid_size=3)
+    x = jax.random.normal(jax.random.key(1), (2, 48, 48, 3))
+    res = solver.evaluate(params, x, jax.random.key(2))
+    for row in res.pred:
+        assert sorted(row.tolist()) == list(range(9))
