@@ -1,0 +1,91 @@
+"""Headline benchmark: puzzles/sec/chip on 3x3 ImageNet-192-class solving.
+
+Runs the flagship JPDVT (131M params) with the parity sampler — the full
+250-step faithful reverse diffusion, identical step count and math to the
+reference's metric-defining path (reference: image_model/inference.py:281-290,
+~0.8 puzzles/s on the baseline GPU at batch 1). The whole solve is one jitted
+XLA program; throughput comes from batching + bf16 + the Pallas attention
+kernel.
+
+Prints ONE JSON line:
+  {"metric": "puzzles_per_sec_per_chip", "value": N, "unit": "puzzles/s",
+   "vs_baseline": N / 0.8, ...}
+
+Extra context (batch size, fast-mode equivalent throughput) goes to stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_PUZZLES_PER_SEC = 0.8  # BASELINE.md row 1: 1.25 s/img, batch 1
+STEPS = 250
+IMAGE_SIZE = 192
+GRID = 3
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build(mode: str, batch: int):
+    from jpdvt_mt_ntnu_tpu.core.diffusion import create_diffusion
+    from jpdvt_mt_ntnu_tpu.eval.solver import PuzzleSolver
+    from jpdvt_mt_ntnu_tpu.models import create_model
+
+    model, cfg = create_model("JPDVT", input_size=IMAGE_SIZE,
+                              dtype=jnp.bfloat16)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, IMAGE_SIZE, IMAGE_SIZE, 3)),
+                        jnp.array([0]), jnp.zeros((1, cfg.num_tokens, 8)))
+    diffusion = create_diffusion(str(STEPS))
+    solver = PuzzleSolver(model, cfg, diffusion, grid_size=GRID, mode=mode)
+    x = jax.random.normal(jax.random.key(1),
+                          (batch, IMAGE_SIZE, IMAGE_SIZE, 3))
+    return solver, params, x
+
+
+def throughput(solver, params, x, iters: int = 3) -> float:
+    res = solver.evaluate(params, x, jax.random.key(2))  # compile
+    t0 = time.perf_counter()
+    for i in range(iters):
+        res = solver.evaluate(params, x, jax.random.key(3 + i))
+    dt = (time.perf_counter() - t0) / iters
+    assert res.pred.shape == (x.shape[0], GRID * GRID)
+    return x.shape[0] / dt
+
+
+def main():
+    n_chips = jax.local_device_count()
+    log(f"backend={jax.default_backend()} chips={n_chips}")
+
+    best, best_batch = 0.0, 0
+    for batch in (32, 64, 128):
+        solver, params, x = build("faithful", batch)
+        tp = throughput(solver, params, x)
+        log(f"faithful {STEPS}-step batch={batch}: {tp:.2f} puzzles/s")
+        if tp > best:
+            best, best_batch = tp, batch
+        del solver, params, x
+
+    # Secondary: the mathematically-equivalent single-step fast path.
+    solver, params, x = build("fast", 128)
+    fast_tp = throughput(solver, params, x)
+    log(f"fast-equivalent batch=128: {fast_tp:.1f} puzzles/s")
+
+    value = best / n_chips
+    print(json.dumps({
+        "metric": "puzzles_per_sec_per_chip",
+        "value": round(value, 3),
+        "unit": "puzzles/s",
+        "vs_baseline": round(value / BASELINE_PUZZLES_PER_SEC, 2),
+        "config": f"3x3@{IMAGE_SIZE}, {STEPS}-step faithful, batch {best_batch}, bf16",
+        "fast_mode_equivalent": round(fast_tp / n_chips, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
