@@ -1,0 +1,189 @@
+"""Batched, resumable, multi-host evaluation harness.
+
+Replaces the whole reference eval-script family with one engine
+(SURVEY.md §2.1): inference.py (single-GPU 3x3), inference_4x4.py,
+inference_ddp*.py (rank-strided sharding), inferencetexmet.py (batched
+DataParallel), inference_texrec*.py (directory variants). Differences from
+the reference are all upgrades:
+
+- puzzles are solved in BATCHES inside one jitted program (the reference is
+  batch-1 except inferencetexmet.py);
+- hosts shard files by ``paths[process_index::process_count]``
+  (inference_ddp.py:325) and write per-host journals (no racy appends);
+- per-item failures (decode errors) are skipped and logged, and completed
+  items resume from the journal exactly like the reference
+  (inference.py:236-245,367-370).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..data import transforms as T
+from ..utils.logging import setup_logging
+from .journal import ProgressJournal
+from .solver import PuzzleSolver
+
+
+@dataclasses.dataclass
+class EvalReport:
+    puzzle_accuracy: float
+    patch_accuracy: float
+    count: int
+    total_time_s: float
+    puzzles_per_sec: float
+
+
+class EvalHarness:
+    def __init__(self, solver: PuzzleSolver, params, *, logs_dir: str,
+                 batch_size: int = 64, seed: int = 0,
+                 results_dir: Optional[str] = None,
+                 journal_name: str = "inference_progress.csv",
+                 process_index: int = 0, process_count: int = 1):
+        self.solver = solver
+        self.params = params
+        self.batch_size = batch_size
+        self.seed = seed
+        self.results_dir = results_dir
+        self.logs_dir = logs_dir
+        self.journal = ProgressJournal(logs_dir, journal_name,
+                                       host_index=process_index)
+        self.process_index = process_index
+        self.process_count = process_count
+        self.logger, self.err_logger = setup_logging(logs_dir)
+
+    # ----------------------------------------------------------------- util
+
+    def _load_image(self, path: str) -> np.ndarray:
+        from PIL import Image
+
+        size = self.solver.cfg.input_size
+        img = T.center_crop_arr(Image.open(path).convert("RGB"), size)
+        return T.normalize(T.to_array(img))
+
+    def _save_images(self, name: str, original, scrambled, reconstructed,
+                     puzzle_correct: int, patch_acc: float) -> None:
+        """Metric-tagged output PNGs, reference naming (inference.py:332-344)."""
+        from PIL import Image
+
+        out_dir = os.path.join(self.results_dir, f"Grid{self.solver.grid}")
+        os.makedirs(out_dir, exist_ok=True)
+        stem = os.path.splitext(name)[0]
+
+        def save(arr, suffix):
+            a = (T.denormalize(np.asarray(arr)) * 255).astype(np.uint8)
+            Image.fromarray(a).save(os.path.join(out_dir, f"{stem}_{suffix}.png"))
+
+        save(original, "original")
+        save(scrambled, "random")
+        save(reconstructed,
+             f"reconstructed_pAcc={puzzle_correct}_patchAcc={patch_acc:.2f}")
+
+    # ------------------------------------------------------------------ run
+
+    def run_paths(self, image_paths: Sequence[str],
+                  loader: Optional[Callable[[str], np.ndarray]] = None,
+                  limit: int = 0) -> EvalReport:
+        """Evaluate a list of image files (resumable)."""
+        loader = loader or self._load_image
+        p = self.solver.grid ** 2
+        state = self.journal.load()
+        my_paths = list(image_paths)[self.process_index::self.process_count]
+        todo = [q for q in my_paths
+                if os.path.basename(q) not in state.processed]
+        if limit:
+            todo = todo[:max(0, limit - state.count)]
+        self.logger.info(
+            f"[host {self.process_index}/{self.process_count}] "
+            f"{len(my_paths)} files assigned, {state.count} already done, "
+            f"{len(todo)} to go")
+
+        rng = np.random.default_rng(self.seed + self.process_index)
+        start = time.time()
+        for chunk_start in range(0, len(todo), self.batch_size):
+            chunk = todo[chunk_start:chunk_start + self.batch_size]
+            images, names = [], []
+            for q in chunk:
+                try:
+                    images.append(loader(q))
+                    names.append(os.path.basename(q))
+                except Exception as e:  # decode failure: skip + log
+                    self.err_logger.error(f"Failed on image {os.path.basename(q)}: {e}")
+                    self.logger.error(f"Skipping {os.path.basename(q)} due to error.")
+            if not images:
+                continue
+            t0 = time.time()
+            batch = np.stack(images)
+            key = jax.random.key(int(rng.integers(0, 2**31)))
+            try:
+                res = self.solver.evaluate(self.params, batch, key)
+            except Exception as e:
+                self.err_logger.error(f"Batch solve failed ({names[0]}...): {e}")
+                continue
+            elapsed = time.time() - t0
+            per_item = elapsed / len(names)
+            if self.results_dir:
+                scrambled = self.solver._scramble(batch, res.indices)
+                recon = self.solver.reconstruct(scrambled, res.pred)
+                for i, n in enumerate(names):
+                    self._save_images(n, batch[i], np.asarray(scrambled[i]),
+                                      np.asarray(recon[i]),
+                                      int(res.puzzle_correct[i]),
+                                      float(res.patch_matches[i]) / p)
+            for i, n in enumerate(names):
+                self.journal.append(n, int(res.puzzle_correct[i]),
+                                    int(res.patch_matches[i]), per_item)
+                state.processed.add(n)
+                state.puzzle_correct += int(res.puzzle_correct[i])
+                state.patch_matches += int(res.patch_matches[i])
+                state.count += 1
+            pa, ta = state.accuracy(p)
+            self.logger.info(
+                f"{state.count} done | batch {len(names)} in {elapsed:.2f}s "
+                f"({len(names) / elapsed:.2f} puzzles/s) | running "
+                f"puzzleAcc={pa:.4f} patchAcc={ta:.4f}")
+
+        total = time.time() - start
+        pa, ta = state.accuracy(p)
+        report = EvalReport(pa, ta, state.count, total,
+                            (state.count / total) if total > 0 else 0.0)
+        self.logger.info("============================================")
+        self.logger.info(f"Done. Processed {state.count} images "
+                         f"(including resumed ones).")
+        self.logger.info(f"Final Puzzle Accuracy: {pa:.4f}")
+        self.logger.info(f"Final Patch Accuracy: {ta:.4f}")
+        self.logger.info(f"Total inference time: {total:.2f}s")
+        self.journal.close()
+        return report
+
+    def run_dataset(self, dataset, limit: int = 0) -> EvalReport:
+        """Evaluate an indexable dataset (items are HWC [-1,1] arrays)."""
+        names = getattr(dataset, "image_files", None) or [
+            f"item_{i:06d}" for i in range(len(dataset))]
+        index = {os.path.basename(n): i for i, n in enumerate(names)}
+
+        def loader(path):
+            return dataset[index[os.path.basename(path)]]
+
+        return self.run_paths(list(names), loader=loader, limit=limit)
+
+
+def find_images(data_dir: str,
+                extensions=(".jpg", ".jpeg", ".png"),
+                exclude_substr: Optional[str] = None) -> list[str]:
+    """Recursive image listing; optional exclusion (texrec skips '*mask*'
+    files, reference inference_texrec.py:239-247)."""
+    out = []
+    for dirpath, _, files in os.walk(data_dir):
+        for f in sorted(files):
+            if f.lower().endswith(tuple(e.lower() for e in extensions)):
+                if exclude_substr and exclude_substr in f.lower():
+                    continue
+                out.append(os.path.join(dirpath, f))
+    return sorted(out)

@@ -1,0 +1,132 @@
+"""CLI batch evaluation — the reference's inference*.py family as one tool.
+
+Usage:
+    python -m jpdvt_mt_ntnu_tpu.eval.run_eval \
+        data.data_path=/data/imagenet/test eval.checkpoint=ckpts/run1 \
+        model.image_size=192 task.grid_size=3 eval.batch_size=64
+
+Variants:
+    task.grid_size=4 model.name=JPDVT-T model.image_size=256   # inference_4x4
+    data.dataset=texmet|met|synthetic                          # dataset evals
+    eval.texrec_dirs=1  -> loop subdirectories with per-dir CSVs
+                           (inference_texrec.py behavior, '*mask*' excluded)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from ..core.diffusion import create_diffusion
+from ..models import create_model
+from ..utils.config import Config, apply_overrides
+from .harness import EvalHarness, find_images
+from .solver import PuzzleSolver
+
+
+def load_params(cfg: Config, model, model_cfg):
+    """Load params from an Orbax train checkpoint (EMA by default, like the
+    reference evaluating EMA-free 'model' weights but exposing both) or a
+    converted-torch npz; random init if no checkpoint given."""
+    if not cfg.eval.checkpoint:
+        return model.init(jax.random.key(0),
+                          jnp.zeros((1, model_cfg.input_size,
+                                     model_cfg.input_size, 3)),
+                          jnp.zeros((1,), jnp.int32),
+                          jnp.zeros((1, model_cfg.num_tokens,
+                                     model_cfg.code_dim)))
+    path = cfg.eval.checkpoint
+    if path.endswith(".npz"):
+        from ..tools.torch_convert import load_npz_params
+
+        return load_npz_params(path)
+    from ..train import CheckpointManager, create_train_state
+    from ..train.state import make_optimizer
+
+    mgr = CheckpointManager(path)
+    tmpl = create_train_state(model, model_cfg, jax.random.key(0),
+                              make_optimizer())
+    state = mgr.restore(tmpl)
+    return state.ema_params if cfg.eval.use_ema else state.params
+
+
+def build_dataset(cfg: Config):
+    from ..data import (ImageFolderDataset, METDataset, SyntheticPuzzles,
+                        TEXMETDataset)
+
+    d = cfg.data
+    if d.dataset == "met":
+        return METDataset(d.data_path, "test")
+    if d.dataset == "texmet":
+        return TEXMETDataset(d.data_path, "test", cfg.model.image_size)
+    if d.dataset == "synthetic":
+        return SyntheticPuzzles(cfg.model.image_size, n=1024, seed=cfg.eval.seed)
+    return ImageFolderDataset(d.data_path, cfg.model.image_size)
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    texrec = any(a.startswith("eval.texrec_dirs") for a in argv)
+    argv = [a for a in argv if not a.startswith("eval.texrec_dirs")]
+    cfg = apply_overrides(Config(), argv)
+
+    dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    model, model_cfg = create_model(cfg.model.name, cfg.model.image_size,
+                                    dtype=dtype, attn_impl=cfg.model.attn_impl,
+                                    **cfg.model.overrides())
+    params = load_params(cfg, model, model_cfg)
+    diffusion = create_diffusion(str(cfg.diffusion.sampling_steps),
+                                 cfg.diffusion.noise_schedule,
+                                 cfg.diffusion.predict_xstart,
+                                 cfg.diffusion.sigma_small)
+    solver = PuzzleSolver(model, model_cfg, diffusion,
+                          grid_size=cfg.task.grid_size,
+                          mode=cfg.diffusion.sampler_mode,
+                          assignment_method=cfg.eval.assignment,
+                          seed=cfg.eval.seed)
+
+    def harness(logs_dir, journal_name="inference_progress.csv"):
+        return EvalHarness(
+            solver, params, logs_dir=logs_dir,
+            batch_size=cfg.eval.batch_size, seed=cfg.eval.seed,
+            results_dir=cfg.eval.results_dir if cfg.eval.save_images else None,
+            journal_name=journal_name,
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
+
+    if texrec:
+        # Directory-loop mode (inference_texrec.py:232-253): each subdir of
+        # data_path gets its own CSV; '*mask*' files excluded; summary at end.
+        results = {}
+        for sub in sorted(os.listdir(cfg.data.data_path)):
+            full = os.path.join(cfg.data.data_path, sub)
+            if not os.path.isdir(full):
+                continue
+            paths = find_images(full, exclude_substr="mask")
+            if not paths:
+                continue
+            h = harness(cfg.eval.logs_dir, f"{sub}_inference_progress.csv")
+            results[sub] = h.run_paths(paths, limit=cfg.eval.limit)
+        print("==== OVERALL RESULTS ====")
+        for sub, r in results.items():
+            print(f"{sub}: puzzle={r.puzzle_accuracy:.4f} "
+                  f"patch={r.patch_accuracy:.4f} n={r.count}")
+        return 0
+
+    h = harness(cfg.eval.logs_dir)
+    if cfg.data.dataset in ("met", "texmet", "synthetic"):
+        report = h.run_dataset(build_dataset(cfg), limit=cfg.eval.limit)
+    else:
+        paths = find_images(cfg.data.data_path)
+        report = h.run_paths(paths, limit=cfg.eval.limit)
+    print(f"puzzle_accuracy={report.puzzle_accuracy:.4f} "
+          f"patch_accuracy={report.patch_accuracy:.4f} n={report.count} "
+          f"({report.puzzles_per_sec:.2f} puzzles/s)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

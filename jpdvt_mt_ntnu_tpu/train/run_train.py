@@ -1,0 +1,158 @@
+"""CLI training loop — the reference's torchrun trainers, TPU-native.
+
+Usage:
+    python -m jpdvt_mt_ntnu_tpu.train.run_train \
+        data.dataset=imagenet data.data_path=/data/imagenet/train \
+        model.image_size=192 task.grid_size=3 task.crop=true \
+        train.epochs=500 data.global_batch_size=96
+
+Covers both reference trainers (train_JPDVT.py and train_JPDVT_4x4.py —
+the 4x4 case is just task.grid_size=4 model.name=JPDVT-T
+model.image_size=256). Multi-host: run the same command on every host after
+``jax.distributed.initialize``; batches shard over the 'data' mesh axis and
+XLA reduces gradients over ICI.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.diffusion import create_diffusion
+from ..models import create_model
+from ..parallel import MeshSpec, make_mesh, shard_batch
+from ..utils.config import Config, apply_overrides
+from ..utils.logging import MetricWriter, auto_experiment_dir, rank0_logger
+from ..utils.pos_embed import grid_code
+from .checkpoint import CheckpointManager
+from .state import create_train_state, make_optimizer
+from .steps import TrainTask, make_train_step
+from .validate import Validator
+
+
+def build_datasets(cfg: Config):
+    from ..data import (ImageFolderDataset, Loader, METDataset,
+                        SyntheticPuzzles, TEXMETDataset)
+
+    d, size = cfg.data, cfg.model.image_size
+    if d.dataset == "met":
+        train, val = METDataset(d.data_path, "train"), METDataset(d.data_path, "val")
+    elif d.dataset == "texmet":
+        train = TEXMETDataset(d.data_path, "train", size)
+        val = TEXMETDataset(d.data_path, "val", size)
+    elif d.dataset == "synthetic":
+        train = SyntheticPuzzles(288 if cfg.task.crop else size, n=2048)
+        val = SyntheticPuzzles(288 if cfg.task.crop else size, n=128, seed=7)
+    else:
+        # ImageNet-style folder; reference always center-crops to 288 and
+        # (with --crop) cuts 96->64 pieces to get 192 (train_JPDVT.py:289-294,
+        # :345-349).
+        load_size = 288 if cfg.task.crop else size
+        train = ImageFolderDataset(d.data_path, load_size)
+        val = train
+    loader = Loader(train, d.global_batch_size, shuffle=True,
+                    seed=cfg.train.global_seed, num_workers=d.num_workers,
+                    process_index=jax.process_index(),
+                    process_count=jax.process_count())
+    return loader, val
+
+
+def main(argv=None) -> int:
+    cfg = apply_overrides(Config(), sys.argv[1:] if argv is None else argv)
+    is_main = jax.process_index() == 0
+
+    exp_dir = auto_experiment_dir(cfg.train.results_dir, cfg.data.dataset,
+                                  cfg.model.name, crop=cfg.task.crop,
+                                  with_mask=cfg.task.add_mask) if is_main else None
+    logger = rank0_logger(is_main, exp_dir)
+    writer = MetricWriter(exp_dir or ".", use_wandb=cfg.train.wandb,
+                          run_name=(exp_dir or "").split("/")[-1],
+                          config=cfg.to_dict(), is_main=is_main)
+    logger.info(f"Config:\n{cfg.to_json()}")
+
+    dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    model, model_cfg = create_model(cfg.model.name, cfg.model.image_size,
+                                    dtype=dtype, attn_impl=cfg.model.attn_impl,
+                                    **cfg.model.overrides())
+    diffusion = create_diffusion(cfg.diffusion.timestep_respacing,
+                                 cfg.diffusion.noise_schedule,
+                                 cfg.diffusion.predict_xstart,
+                                 cfg.diffusion.sigma_small)
+    optimizer = make_optimizer(cfg.train.lr, cfg.train.weight_decay,
+                               cfg.train.grad_clip)
+    grid = cfg.task.grid_size
+    task = TrainTask(
+        grid_size=grid,
+        block_size=cfg.model.image_size // grid,
+        patch_size=model_cfg.patch_size,
+        add_mask=cfg.task.add_mask,
+        shared_perm=cfg.task.shared_perm,
+        ema_decay=cfg.train.ema_decay,
+        crop_pieces=cfg.model.image_size // grid if cfg.task.crop else None,
+    )
+    piece_code = jnp.asarray(grid_code(model_cfg.code_dim, grid))
+    train_step = make_train_step(model, diffusion, optimizer, task, piece_code)
+
+    mesh = make_mesh(MeshSpec(cfg.mesh.data, cfg.mesh.model))
+    state = create_train_state(model, model_cfg, jax.random.key(cfg.train.global_seed),
+                               optimizer)
+    n_params = sum(p.size for p in jax.tree.leaves(state.params))
+    logger.info(f"{cfg.model.name}: {n_params / 1e6:.1f}M params, "
+                f"mesh={dict(mesh.shape)}")
+
+    ckpt = CheckpointManager(cfg.train.resume or f"{exp_dir}/checkpoints"
+                             if exp_dir else "checkpoints")
+    if cfg.train.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        logger.info(f"Resumed from step {int(state.step)}")
+
+    loader, val_ds = build_datasets(cfg)
+    validator = Validator(model, model_cfg, grid_size=grid,
+                          sampling_steps=cfg.diffusion.sampling_steps,
+                          sampler_mode=cfg.diffusion.sampler_mode)
+    rng = jax.random.key(cfg.train.global_seed)
+
+    logger.info(f"Training for {cfg.train.epochs} epochs, "
+                f"{len(loader)} steps/epoch")
+    running_loss, window_start, window_steps = 0.0, time.time(), 0
+    for epoch in range(cfg.train.epochs):
+        loader.set_epoch(epoch)
+        for batch in loader:
+            batch = shard_batch({"x": jnp.asarray(batch)}, mesh)["x"]
+            state, metrics = train_step(state, batch, rng)
+            running_loss += float(metrics["loss"])
+            window_steps += 1
+            step = int(state.step)
+            if step % cfg.train.log_every == 0:
+                dt = time.time() - window_start
+                sps = window_steps / dt if dt > 0 else 0.0
+                avg = running_loss / max(1, window_steps)
+                logger.info(f"(step={step:08d}) Train Loss: {avg:.4f}, "
+                            f"Train Steps/Sec: {sps:.2f}")
+                writer.log({"train_loss": avg, "steps_per_sec": sps,
+                            "epoch": epoch}, step)
+                running_loss, window_start, window_steps = 0.0, time.time(), 0
+            if step % cfg.train.ckpt_every == 0:
+                if is_main:
+                    ckpt.save(state, metadata={"config": cfg.to_dict(),
+                                               "step": step})
+                    logger.info(f"Saved checkpoint at step {step}")
+                    val = validator(state.ema_params, val_ds)
+                    logger.info(f"Validation: {val}")
+                    writer.log(val, step)
+    if is_main:
+        ckpt.save(state, metadata={"config": cfg.to_dict(), "final": True},
+                  force=True)
+        val = validator(state.ema_params, val_ds)
+        logger.info(f"Final validation: {val}")
+        writer.finish(summary=val)
+        ckpt.wait()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -19,6 +19,20 @@ class ModelConfig:
     image_size: int = 192
     compute_dtype: str = "bfloat16"   # "float32" for parity runs
     attn_impl: Optional[str] = None   # None = auto
+    # 0 = use the registry values; override for scaled-down smoke runs.
+    depth: int = 0
+    hidden_size: int = 0
+    num_heads: int = 0
+
+    def overrides(self) -> dict:
+        out = {}
+        if self.depth:
+            out["depth"] = self.depth
+        if self.hidden_size:
+            out["hidden_size"] = self.hidden_size
+        if self.num_heads:
+            out["num_heads"] = self.num_heads
+        return out
 
 
 @dataclasses.dataclass

@@ -1,0 +1,65 @@
+"""CLI entry points: scaled-down end-to-end runs on the synthetic dataset."""
+
+import json
+import os
+
+import pytest
+
+
+def test_run_train_synthetic(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from jpdvt_mt_ntnu_tpu.train.run_train import main
+
+    rc = main([
+        "data.dataset=synthetic", "data.global_batch_size=8",
+        "data.num_workers=2",
+        "model.image_size=48", "model.depth=1", "model.hidden_size=32",
+        "model.num_heads=2", "model.attn_impl=xla",
+        "model.compute_dtype=float32",
+        "task.grid_size=3",
+        "train.epochs=1", "train.log_every=5", "train.ckpt_every=1000000",
+        f"train.results_dir={tmp_path}/results",
+        "diffusion.sampling_steps=4",
+    ])
+    assert rc == 0
+    runs = os.listdir(tmp_path / "results")
+    assert len(runs) == 1
+    exp = tmp_path / "results" / runs[0]
+    metrics = [json.loads(l) for l in open(exp / "metrics.jsonl")]
+    assert any("train_loss" in m for m in metrics)
+    # final validation goes into the summary record
+    assert any("val_puzzle_acc" in str(m) for m in metrics)
+    assert (exp / "checkpoints").exists()
+
+
+def test_run_eval_synthetic(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    from jpdvt_mt_ntnu_tpu.eval.run_eval import main
+
+    rc = main([
+        "data.dataset=synthetic",
+        "model.image_size=48", "model.depth=1", "model.hidden_size=32",
+        "model.num_heads=2", "model.attn_impl=xla",
+        "model.compute_dtype=float32",
+        "diffusion.sampling_steps=3", "diffusion.sampler_mode=fast",
+        "eval.batch_size=8", "eval.limit=16",
+        f"eval.logs_dir={tmp_path}/logs",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "puzzle_accuracy=" in out
+    assert os.path.exists(tmp_path / "logs" / "inference_progress.csv")
+
+
+def test_config_overrides_and_errors():
+    from jpdvt_mt_ntnu_tpu.utils.config import Config, apply_overrides
+
+    cfg = apply_overrides(Config(), ["train.lr=3e-4", "task.add_mask=true",
+                                     "--model.name=JPDVT-T"])
+    assert cfg.train.lr == 3e-4
+    assert cfg.task.add_mask is True
+    assert cfg.model.name == "JPDVT-T"
+    with pytest.raises(KeyError):
+        apply_overrides(Config(), ["train.nonexistent=1"])
+    with pytest.raises(ValueError):
+        apply_overrides(Config(), ["garbage"])
