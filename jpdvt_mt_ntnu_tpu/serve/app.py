@@ -1,0 +1,215 @@
+"""HTTP server exposing the reference API contract.
+
+Two transports over one PuzzleService:
+- FastAPI (preferred, matches reference api/app.py; install extra
+  ``pip install .[serve]``, run ``uvicorn jpdvt_mt_ntnu_tpu.serve.app:app``);
+- a dependency-free stdlib fallback (``python -m jpdvt_mt_ntnu_tpu.serve.app``)
+  implementing the same routes, for images without fastapi.
+
+Routes (reference api/app.py:167-451):
+    GET  /                      -> index.html redirect
+    GET  /api/models
+    POST /api/create_puzzle     (multipart: file, optional seed)
+    POST /api/solve_puzzle      (multipart: file)
+    POST /api/solve             (JSON: image_data, model_id, indices)
+    GET  /index.html, /static/* (bundled SPA)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Optional
+
+from .service import PuzzleService, ServiceConfig
+
+STATIC_DIR = os.path.join(os.path.dirname(__file__), "static")
+
+_service: Optional[PuzzleService] = None
+
+
+def get_service(cfg: Optional[ServiceConfig] = None) -> PuzzleService:
+    global _service
+    if _service is None:
+        _service = PuzzleService(cfg or ServiceConfig())
+    return _service
+
+
+# --------------------------------------------------------------------------
+# FastAPI transport (optional dependency)
+# --------------------------------------------------------------------------
+
+def create_fastapi_app(cfg: Optional[ServiceConfig] = None):
+    from fastapi import FastAPI, File, Form, HTTPException, UploadFile
+    from fastapi.middleware.cors import CORSMiddleware
+    from fastapi.responses import RedirectResponse
+    from fastapi.staticfiles import StaticFiles
+    from pydantic import BaseModel
+
+    app = FastAPI(title="Jigsaw Puzzle Solver API")
+    app.add_middleware(CORSMiddleware, allow_origins=["*"],
+                       allow_credentials=True, allow_methods=["*"],
+                       allow_headers=["*"])
+
+    class SolveRequest(BaseModel):
+        image_data: str
+        model_id: str = "default"
+        indices: Optional[list[int]] = None
+        model_config = {"protected_namespaces": ()}
+
+    @app.on_event("startup")
+    async def startup():
+        get_service(cfg)
+
+    @app.get("/")
+    async def root():
+        return RedirectResponse(url="/index.html")
+
+    @app.get("/api/models")
+    async def models():
+        return get_service().models()
+
+    @app.post("/api/create_puzzle")
+    async def create_puzzle(file: UploadFile = File(...),
+                            seed: Optional[int] = Form(None)):
+        try:
+            return get_service().create_puzzle(await file.read(), seed)
+        except Exception as e:
+            raise HTTPException(500, f"Error creating puzzle: {e}")
+
+    @app.post("/api/solve_puzzle")
+    async def solve_puzzle(file: UploadFile = File(...)):
+        try:
+            return get_service().solve_puzzle(await file.read())
+        except Exception as e:
+            raise HTTPException(500, f"Error solving puzzle: {e}")
+
+    @app.post("/api/solve")
+    async def solve(data: SolveRequest):
+        try:
+            return get_service().solve(data.image_data, data.indices,
+                                       data.model_id)
+        except Exception as e:
+            raise HTTPException(500, f"Error solving puzzle: {e}")
+
+    app.mount("/", StaticFiles(directory=STATIC_DIR, html=True), name="static")
+    return app
+
+
+try:  # uvicorn jpdvt_mt_ntnu_tpu.serve.app:app
+    app = create_fastapi_app()
+except ImportError:
+    app = None
+
+
+# --------------------------------------------------------------------------
+# stdlib transport
+# --------------------------------------------------------------------------
+
+def _parse_multipart(body: bytes, content_type: str) -> dict[str, bytes]:
+    """Minimal multipart/form-data parser (file + simple fields)."""
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        raise ValueError("no multipart boundary")
+    boundary = b"--" + m.group(1).encode()
+    fields: dict[str, bytes] = {}
+    for part in body.split(boundary):
+        part = part.strip(b"\r\n")
+        if not part or part == b"--":
+            continue
+        if b"\r\n\r\n" not in part:
+            continue
+        header, _, value = part.partition(b"\r\n\r\n")
+        nm = re.search(rb'name="([^"]+)"', header)
+        if nm:
+            fields[nm.group(1).decode()] = value
+    return fields
+
+
+class _Handler:
+    """Route table shared by the stdlib server (framework-free)."""
+
+    def __init__(self, service: PuzzleService):
+        self.service = service
+
+    def handle(self, method: str, path: str, headers: dict,
+               body: bytes) -> tuple[int, str, bytes]:
+        try:
+            if method == "GET" and path in ("/", "/index.html"):
+                with open(os.path.join(STATIC_DIR, "index.html"), "rb") as f:
+                    return 200, "text/html", f.read()
+            if method == "GET" and path == "/api/models":
+                return self._json(self.service.models())
+            if method == "POST" and path == "/api/create_puzzle":
+                fields = _parse_multipart(body, headers.get("content-type", ""))
+                seed = int(fields["seed"]) if fields.get("seed") else None
+                return self._json(
+                    self.service.create_puzzle(fields["file"], seed))
+            if method == "POST" and path == "/api/solve_puzzle":
+                fields = _parse_multipart(body, headers.get("content-type", ""))
+                return self._json(self.service.solve_puzzle(fields["file"]))
+            if method == "POST" and path == "/api/solve":
+                data = json.loads(body)
+                return self._json(self.service.solve(
+                    data["image_data"], data.get("indices"),
+                    data.get("model_id", "default")))
+            return 404, "application/json", b'{"detail": "Not Found"}'
+        except Exception as e:
+            return (500, "application/json",
+                    json.dumps({"detail": f"Error: {e}"}).encode())
+
+    @staticmethod
+    def _json(obj) -> tuple[int, str, bytes]:
+        return 200, "application/json", json.dumps(obj).encode()
+
+
+def serve_stdlib(cfg: Optional[ServiceConfig] = None, host: str = "0.0.0.0",
+                 port: int = 8000):
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    handler = _Handler(get_service(cfg))
+
+    class H(BaseHTTPRequestHandler):
+        def _respond(self):
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            body = self.rfile.read(length) if length else b""
+            status, ctype, payload = handler.handle(
+                self.command, self.path.split("?")[0],
+                {k.lower(): v for k, v in self.headers.items()}, body)
+            self.send_response(status)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        do_GET = do_POST = _respond
+
+        def log_message(self, *a):
+            pass
+
+    server = ThreadingHTTPServer((host, port), H)
+    print(f"serving on http://{host}:{port} (stdlib transport)")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--checkpoint", default="")
+    ap.add_argument("--mode", default="faithful")
+    ap.add_argument("--steps", type=int, default=250)
+    a = ap.parse_args()
+    cfg = ServiceConfig(checkpoint=a.checkpoint, sampler_mode=a.mode,
+                        sampling_steps=a.steps)
+    if app is not None:
+        import uvicorn
+
+        get_service(cfg)  # eager load before serving
+        uvicorn.run(create_fastapi_app(cfg), host=a.host, port=a.port)
+    else:
+        serve_stdlib(cfg, a.host, a.port)

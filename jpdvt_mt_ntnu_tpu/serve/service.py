@@ -1,0 +1,216 @@
+"""Framework-agnostic puzzle service: the reference API's business logic.
+
+One object owns the jitted solver (loaded once at startup, like the
+reference's global singletons — reference: api/app.py:115-153) and returns
+plain dicts matching the reference JSON contract exactly
+(api/app.py:188-248 create_puzzle, :250-348 solve_puzzle, :350-451 solve).
+Both the FastAPI app and the stdlib HTTP fallback delegate here, so the
+contract is tested independently of the web framework.
+
+Difference from the reference: the reconstructed image is reassembled
+seamlessly instead of via torchvision ``make_grid`` (which injects 2px
+padding lines between pieces).
+"""
+
+from __future__ import annotations
+
+import base64
+import dataclasses
+import io
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..core.diffusion import create_diffusion
+from ..data import transforms as T
+from ..eval.solver import PuzzleSolver
+from ..models import create_model
+from ..ops import jigsaw
+
+
+@dataclasses.dataclass
+class ServiceConfig:
+    model_name: str = "JPDVT"
+    checkpoint: str = ""             # npz (converted) or orbax dir; "" = random
+    image_size: int = 192
+    grid_size: int = 3
+    sampling_steps: int = 250
+    sampler_mode: str = "faithful"
+    seed: int = 0
+    compute_dtype: str = "bfloat16"
+    # scaled-down overrides for tests
+    depth: int = 0
+    hidden_size: int = 0
+    num_heads: int = 0
+
+
+def _b64_to_image(data: str) -> Image.Image:
+    return Image.open(io.BytesIO(base64.b64decode(data))).convert("RGB")
+
+
+def _array_to_b64(arr: np.ndarray) -> str:
+    """[-1,1] HWC float -> base64 PNG (api/app.py:87-103 equivalent)."""
+    a = (T.denormalize(np.asarray(arr)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(a).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("utf-8")
+
+
+class PuzzleService:
+    def __init__(self, cfg: ServiceConfig):
+        self.cfg = cfg
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        overrides = {}
+        if cfg.depth:
+            overrides["depth"] = cfg.depth
+        if cfg.hidden_size:
+            overrides["hidden_size"] = cfg.hidden_size
+        if cfg.num_heads:
+            overrides["num_heads"] = cfg.num_heads
+        self.model, self.model_cfg = create_model(
+            cfg.model_name, cfg.image_size, dtype=dtype, **overrides)
+        self.params = self._load_params()
+        diffusion = create_diffusion(str(cfg.sampling_steps))
+        self.solver = PuzzleSolver(self.model, self.model_cfg, diffusion,
+                                   grid_size=cfg.grid_size,
+                                   mode=cfg.sampler_mode, seed=cfg.seed)
+        self._rng = np.random.default_rng(cfg.seed)
+
+    def _load_params(self):
+        cfg, m = self.cfg, self.model_cfg
+        if cfg.checkpoint.endswith(".npz"):
+            from ..tools.torch_convert import load_npz_params
+
+            return jax.tree.map(jnp.asarray, load_npz_params(cfg.checkpoint))
+        if cfg.checkpoint:
+            from ..train import CheckpointManager, create_train_state
+            from ..train.state import make_optimizer
+
+            mgr = CheckpointManager(cfg.checkpoint)
+            tmpl = create_train_state(self.model, m, jax.random.key(0),
+                                      make_optimizer())
+            return mgr.restore(tmpl).ema_params
+        return self.model.init(
+            jax.random.key(0),
+            jnp.zeros((1, m.input_size, m.input_size, 3)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, m.num_tokens, m.code_dim)))
+
+    # ------------------------------------------------------------ endpoints
+
+    def models(self) -> list[dict]:
+        """GET /api/models (api/app.py:172-186)."""
+        return [
+            {"id": "default", "name": self.cfg.model_name,
+             "description": f"{self.cfg.grid_size}x{self.cfg.grid_size} "
+                            "Grid Jigsaw Puzzle Solver"},
+            {"id": "fast", "name": f"{self.cfg.model_name} (fast)",
+             "description": "Mathematically-equivalent single-step solver"},
+        ]
+
+    def _prep(self, img: Image.Image) -> np.ndarray:
+        img = T.center_crop_arr(img, self.cfg.image_size)
+        return T.normalize(T.to_array(img))
+
+    def create_puzzle(self, image_bytes: bytes,
+                      seed: Optional[int] = None) -> dict:
+        """POST /api/create_puzzle (api/app.py:188-248)."""
+        rng = np.random.default_rng(seed) if seed is not None else self._rng
+        x = self._prep(Image.open(io.BytesIO(image_bytes)).convert("RGB"))
+        p = self.cfg.grid_size ** 2
+        indices = rng.permutation(p)
+        scrambled = np.asarray(jigsaw.scramble(
+            jnp.asarray(x)[None], jnp.asarray(indices), self.cfg.grid_size))[0]
+        patch_matches = int((indices == np.arange(p)).sum())
+        return {
+            "original_image": _array_to_b64(x),
+            "puzzle_image": _array_to_b64(scrambled),
+            "indices": indices.tolist(),
+            "initial_metrics": {
+                "patch_matches": patch_matches,
+                "total_patches": p,
+                "patch_accuracy": patch_matches / p,
+            },
+        }
+
+    def _solve_scrambled(self, scrambled: np.ndarray, mode_id: str):
+        solver = self.solver
+        if mode_id == "fast" and solver.mode != "fast":
+            # fast mode produces identical outputs; reuse the same solver
+            # params but a one-step program
+            if not hasattr(self, "_fast_solver"):
+                self._fast_solver = PuzzleSolver(
+                    self.model, self.model_cfg, solver.diffusion,
+                    grid_size=self.cfg.grid_size, mode="fast",
+                    seed=self.cfg.seed)
+            solver = self._fast_solver
+        pred = solver.solve(self.params, jnp.asarray(scrambled)[None])[0]
+        return pred, solver
+
+    def solve_puzzle(self, image_bytes: bytes, model_id: str = "default") -> dict:
+        """POST /api/solve_puzzle: scramble + solve (api/app.py:250-348)."""
+        x = self._prep(Image.open(io.BytesIO(image_bytes)).convert("RGB"))
+        p = self.cfg.grid_size ** 2
+        indices = self._rng.permutation(p)
+        scrambled = np.asarray(jigsaw.scramble(
+            jnp.asarray(x)[None], jnp.asarray(indices), self.cfg.grid_size))[0]
+        pred, solver = self._solve_scrambled(scrambled, model_id)
+        recon = np.asarray(solver.reconstruct(
+            jnp.asarray(scrambled)[None], pred[None]))[0]
+        patch_matches = int((pred == indices).sum())
+        return {
+            "success": True,
+            "original_image": _array_to_b64(x),
+            "scrambled_image": _array_to_b64(scrambled),
+            "solution_image": _array_to_b64(recon),
+            "metrics": {
+                "puzzle_correct": int((pred == indices).all()),
+                "patch_matches": patch_matches,
+                "total_patches": p,
+                "patch_accuracy": patch_matches / p,
+            },
+            "details": {
+                "indices": indices.tolist(),
+                "predicted_order": pred.tolist(),
+            },
+        }
+
+    def solve(self, image_data: str, indices: Optional[list[int]] = None,
+              model_id: str = "default") -> dict:
+        """POST /api/solve: client sends scrambled b64 + ground-truth indices
+        (api/app.py:350-451)."""
+        start = time.time()
+        x_scrambled = self._prep(_b64_to_image(image_data))
+        pred, solver = self._solve_scrambled(x_scrambled, model_id)
+        recon = np.asarray(solver.reconstruct(
+            jnp.asarray(x_scrambled)[None], pred[None]))[0]
+        p = self.cfg.grid_size ** 2
+        if indices is not None:
+            original = np.asarray(indices)
+            puzzle_correct = int((pred == original).all())
+            patch_matches = int((pred == original).sum())
+        else:
+            puzzle_correct, patch_matches = 0, 0
+        size = self.cfg.image_size
+        g = self.cfg.grid_size
+        return {
+            "success": True,
+            "solution_image": _array_to_b64(recon),
+            "predicted_order": pred.tolist(),
+            "metrics": {
+                "puzzle_correct": puzzle_correct,
+                "patch_matches": patch_matches,
+                "total_patches": p,
+                "patch_accuracy": patch_matches / p,
+            },
+            "image_info": {
+                "grid_size": f"{g}x{g}",
+                "image_resolution": f"{size}x{size}",
+                "patch_size": f"{size // g}x{size // g}",
+            },
+            "processing_time": round(time.time() - start, 2),
+        }
