@@ -45,7 +45,8 @@ class EvalHarness:
                  batch_size: int = 64, seed: int = 0,
                  results_dir: Optional[str] = None,
                  journal_name: str = "inference_progress.csv",
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 use_native_decode: bool | None = None):
         self.solver = solver
         self.params = params
         self.batch_size = batch_size
@@ -56,14 +57,24 @@ class EvalHarness:
                                        host_index=process_index)
         self.process_index = process_index
         self.process_count = process_count
+        if use_native_decode is None:
+            from ..ops import native
+
+            use_native_decode = native.available()
+        self.use_native_decode = use_native_decode
         self.logger, self.err_logger = setup_logging(logs_dir)
 
     # ----------------------------------------------------------------- util
 
     def _load_image(self, path: str) -> np.ndarray:
+        size = self.solver.cfg.input_size
+        if self.use_native_decode:
+            from ..ops import native
+
+            with open(path, "rb") as f:
+                return native.decode_center_crop(f.read(), size)
         from PIL import Image
 
-        size = self.solver.cfg.input_size
         img = T.center_crop_arr(Image.open(path).convert("RGB"), size)
         return T.normalize(T.to_array(img))
 

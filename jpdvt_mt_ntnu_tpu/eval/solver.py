@@ -119,7 +119,10 @@ class PuzzleSolver:
         """Predict slot-per-piece for scrambled images. -> (B, P) int."""
         pred, dist = self._solve_codes(params, x_scrambled)
         if self.assignment_method == "hungarian":
-            return assignment.hungarian_permutation(np.asarray(dist))
+            from ..ops import native
+
+            return np.asarray(native.hungarian_permutation(np.asarray(dist)),
+                              dtype=np.int64)
         return np.asarray(pred)
 
     def evaluate(self, params, x: jnp.ndarray, rng: jax.Array) -> SolveResult:
@@ -127,9 +130,12 @@ class PuzzleSolver:
         p = self.grid * self.grid
         indices = jigsaw.random_permutations(rng, x.shape[0], p)
         if self.assignment_method == "hungarian":
+            from ..ops import native
+
             x_scr = self._scramble(x, indices)
             _, dist = self._solve_codes(params, x_scr)
-            pred = assignment.hungarian_permutation(np.asarray(dist))
+            pred = np.asarray(native.hungarian_permutation(np.asarray(dist)),
+                              dtype=np.int64)
             eq = pred == np.asarray(indices)
             return SolveResult(pred, np.asarray(indices),
                                eq.all(-1).astype(np.int32),
