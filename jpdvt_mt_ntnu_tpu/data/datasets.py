@@ -159,16 +159,28 @@ class SyntheticPuzzles:
     distinct content), fixed shapes, reproducible.
     """
 
-    def __init__(self, image_size: int = 192, n: int = 1024, seed: int = 0):
+    def __init__(self, image_size: int = 192, n: int = 1024, seed: int = 0,
+                 cache: bool = True):
         self.image_size = image_size
         self.n = n
         self.seed = seed
         self.image_files = [f"synthetic_{i:06d}.png" for i in range(n)]
+        # Texture synthesis is host-compute-bound; cache generated images so
+        # epochs after the first are free (~0.4 MB/item at 192px fp32).
+        self._cache: list = [None] * n if cache else []
 
     def __len__(self) -> int:
         return self.n
 
     def __getitem__(self, i: int) -> np.ndarray:
+        if self._cache and self._cache[i] is not None:
+            return self._cache[i]
+        out = self._generate(i)
+        if self._cache:
+            self._cache[i] = out
+        return out
+
+    def _generate(self, i: int) -> np.ndarray:
         rng = np.random.default_rng(self.seed * 1000003 + i)
         s = self.image_size
         yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s

@@ -68,6 +68,9 @@ def build_dataset(cfg: Config):
 
 
 def main(argv=None) -> int:
+    from ..utils.platform import ensure_platform
+
+    ensure_platform()
     argv = sys.argv[1:] if argv is None else argv
     texrec = any(a.startswith("eval.texrec_dirs") for a in argv)
     argv = [a for a in argv if not a.startswith("eval.texrec_dirs")]

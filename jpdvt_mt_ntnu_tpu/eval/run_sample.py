@@ -30,6 +30,9 @@ _DEFAULT_LIMITS = {"met": 2000, "imagenet": 50000}
 
 
 def main(argv=None) -> int:
+    from ..utils.platform import ensure_platform
+
+    ensure_platform()
     argv = sys.argv[1:] if argv is None else argv
     crop = any(a.startswith("sample.crop") for a in argv)
     argv = [a for a in argv if not a.startswith("sample.crop")]

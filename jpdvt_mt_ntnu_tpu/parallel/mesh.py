@@ -67,6 +67,27 @@ def local_batch_size(global_batch: int, mesh: Mesh) -> int:
     return global_batch // n
 
 
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host bring-up — the ``dist.init_process_group("nccl")``
+    equivalent (reference train_JPDVT.py:111). On TPU pods with standard
+    environment variables a bare ``jax.distributed.initialize()`` suffices;
+    arguments are for manual clusters. Safe to call when already
+    initialized."""
+    import jax
+
+    try:
+        if coordinator_address is None:
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(coordinator_address, num_processes,
+                                       process_id)
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+
+
 def process_shard(items: list, process_index: int | None = None,
                   process_count: int | None = None) -> list:
     """Strided multi-host work sharding, the TPU equivalent of the

@@ -62,6 +62,9 @@ def build_datasets(cfg: Config):
 
 
 def main(argv=None) -> int:
+    from ..utils.platform import ensure_platform
+
+    ensure_platform()
     cfg = apply_overrides(Config(), sys.argv[1:] if argv is None else argv)
     is_main = jax.process_index() == 0
 
@@ -116,13 +119,33 @@ def main(argv=None) -> int:
                           sampler_mode=cfg.diffusion.sampler_mode)
     rng = jax.random.key(cfg.train.global_seed)
 
+    device_data = None
+    if cfg.data.device_cache:
+        ds = loader.dataset
+        stack = np.stack([ds[i] for i in range(len(ds))])
+        device_data = shard_batch(
+            {"x": jnp.asarray(stack, dtype=jnp.bfloat16)}, mesh)["x"]
+        logger.info(f"device-cached dataset: {device_data.shape} "
+                    f"({device_data.nbytes / 1e6:.0f} MB bf16 in HBM)")
+
+    def epoch_batches(epoch: int):
+        if device_data is None:
+            loader.set_epoch(epoch)
+            for batch in loader:
+                yield shard_batch({"x": jnp.asarray(batch)}, mesh)["x"]
+            return
+        n = device_data.shape[0]
+        b = cfg.data.global_batch_size
+        perm = np.random.default_rng(
+            cfg.train.global_seed * 100003 + epoch).permutation(n)
+        for i in range(n // b):
+            yield device_data[jnp.asarray(perm[i * b:(i + 1) * b])]
+
     logger.info(f"Training for {cfg.train.epochs} epochs, "
                 f"{len(loader)} steps/epoch")
     running_loss, window_start, window_steps = 0.0, time.time(), 0
     for epoch in range(cfg.train.epochs):
-        loader.set_epoch(epoch)
-        for batch in loader:
-            batch = shard_batch({"x": jnp.asarray(batch)}, mesh)["x"]
+        for batch in epoch_batches(epoch):
             state, metrics = train_step(state, batch, rng)
             running_loss += float(metrics["loss"])
             window_steps += 1

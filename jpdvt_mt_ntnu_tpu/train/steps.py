@@ -64,6 +64,13 @@ def make_train_step(model, diffusion: Diffusion, optimizer: optax.GradientTransf
     def train_step(state: TrainState, images, rng):
         from ..ops import jigsaw
 
+        # Batches may arrive as bf16/uint8 to save host->device bandwidth
+        # (the tunnel to remote TPUs makes H2D the bottleneck otherwise);
+        # the q-process math wants fp32.
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 127.5 - 1.0
+        else:
+            images = images.astype(jnp.float32)
         step_rng = jax.random.fold_in(rng, state.step)
         k_t, k_loss = jax.random.split(step_rng)
         if task.crop_pieces is not None:

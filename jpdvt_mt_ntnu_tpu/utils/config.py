@@ -59,6 +59,10 @@ class DataConfig:
     data_path: str = ""
     num_workers: int = 8
     global_batch_size: int = 96       # train_JPDVT.py default (argparse :651)
+    # Stage the whole dataset in device HBM once (bf16) and gather batches
+    # on-device — removes per-step H2D entirely. For datasets that fit
+    # (synthetic, MET-scale); augmenting datasets re-stage per epoch.
+    device_cache: bool = False
 
 
 @dataclasses.dataclass

@@ -1,0 +1,152 @@
+"""Host data pipeline: transforms, datasets, loader."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from jpdvt_mt_ntnu_tpu.data import (
+    ImageFolderDataset,
+    Loader,
+    METDataset,
+    SyntheticPuzzles,
+    TEXMETDataset,
+)
+from jpdvt_mt_ntnu_tpu.data import transforms as T
+from jpdvt_mt_ntnu_tpu.data.datasets import rand_erode
+
+
+def _write_img(path, w=450, h=420, seed=0):
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)).save(path)
+
+
+def test_center_crop_arr_shapes():
+    img = Image.new("RGB", (1000, 700), (10, 20, 30))
+    out = T.center_crop_arr(img, 192)
+    assert out.size == (192, 192)
+    # small image upscales
+    out = T.center_crop_arr(Image.new("RGB", (100, 150)), 192)
+    assert out.size == (192, 192)
+
+
+def test_normalize_roundtrip():
+    x = np.random.default_rng(0).random((8, 8, 3)).astype(np.float32)
+    np.testing.assert_allclose(T.denormalize(T.normalize(x)), x, atol=1e-6)
+
+
+def test_rand_erode_geometry():
+    rng = np.random.default_rng(0)
+    arr = np.arange(398 * 398 * 3, dtype=np.float32).reshape(398, 398, 3)
+    out = rand_erode(arr, rng, n=3, patch_out=96, region=100, gap=48)
+    assert out.shape == (288, 288, 3)
+    # each output cell must be a contiguous crop from its source region
+    cell = out[:96, :96]
+    assert cell.min() >= arr[0:100, 0:100].min()
+    assert cell.max() <= arr[0:100, 0:100].max()
+
+
+@pytest.fixture
+def met_dir(tmp_path):
+    root = tmp_path / "met"
+    for sub in ("a", "b", "c"):
+        for i in range(4):
+            _write_img(str(root / sub / f"{sub}{i}.jpg"), seed=i)
+    return str(root)
+
+
+def test_met_dataset(met_dir):
+    # 12 images: test split sized min(...) -> sklearn requires test_size < n;
+    # use small split sizes for the fixture
+    from jpdvt_mt_ntnu_tpu.data.datasets import _split_indices
+
+    train, val, test = _split_indices(12, test_size=3, val_size=2)
+    assert len(test) == 3 and len(val) == 2 and len(train) == 7
+    assert set(train + val + test) == set(range(12))
+
+
+def test_met_getitem(met_dir, monkeypatch):
+    import jpdvt_mt_ntnu_tpu.data.datasets as D
+
+    monkeypatch.setattr(
+        D, "_split_indices",
+        lambda n, seed=42, **kw: (list(range(n - 4)), [n - 4, n - 3],
+                                  [n - 2, n - 1]))
+    for split in ("train", "val", "test"):
+        ds = METDataset(met_dir, split)
+        x = ds[0]
+        assert x.shape == (288, 288, 3)
+        assert -1.01 <= x.min() and x.max() <= 1.01
+
+
+@pytest.fixture
+def texmet_dir(tmp_path):
+    root = tmp_path / "texmet"
+    os.makedirs(root / "images", exist_ok=True)
+    names = []
+    for i in range(5):
+        name = f"tex_{i}.jpg"
+        _write_img(str(root / "images" / name), seed=i)
+        names.append(f"train/images/{name}")
+    names.append("train/images/missing.jpg")  # exercises the filter
+    (root / "test_files.txt").write_text("\n".join(names))
+    return str(root)
+
+
+def test_texmet_dataset(texmet_dir):
+    ds = TEXMETDataset(texmet_dir, "test", image_size=192)
+    assert len(ds) == 5 and ds.missing == 1
+    x = ds[0]
+    assert x.shape == (192, 192, 3)  # 64*3 collage
+    ds288 = TEXMETDataset(texmet_dir, "test", image_size=288)
+    assert ds288[0].shape == (288, 288, 3)
+
+
+def test_texmet_requires_split_file(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        TEXMETDataset(str(tmp_path), "test")
+
+
+def test_texmet_black_fallback(texmet_dir):
+    ds = TEXMETDataset(texmet_dir, "test", image_size=192)
+    # corrupt a file on disk
+    with open(ds.image_files[2], "wb") as f:
+        f.write(b"garbage")
+    x = ds[2]
+    assert x.shape == (192, 192, 3)
+    assert np.abs(x).max() == 0.0
+
+
+def test_image_folder(tmp_path):
+    for i in range(3):
+        _write_img(str(tmp_path / "sub" / f"i{i}.JPEG"), seed=i)
+    ds = ImageFolderDataset(str(tmp_path), 96, extensions=(".jpeg",))
+    assert len(ds) == 3
+    assert ds[0].shape == (96, 96, 3)
+
+
+def test_loader_sharding_and_epochs():
+    ds = SyntheticPuzzles(48, n=32)
+    l0 = Loader(ds, 4, shuffle=True, seed=1, num_workers=2,
+                process_index=0, process_count=2)
+    l1 = Loader(ds, 4, shuffle=True, seed=1, num_workers=2,
+                process_index=1, process_count=2)
+    assert len(l0) == len(l1) == 4
+    b0 = list(l0)
+    b1 = list(l1)
+    assert all(b.shape == (4, 48, 48, 3) for b in b0 + b1)
+    # different shards produce different data
+    assert not np.allclose(b0[0], b1[0])
+    # epoch reshuffle changes order
+    l0.set_epoch(1)
+    b0e1 = list(l0)
+    assert not np.allclose(b0[0], b0e1[0])
+
+
+def test_synthetic_deterministic_and_cached():
+    ds = SyntheticPuzzles(48, n=4)
+    a, b = ds[1], SyntheticPuzzles(48, n=4)[1]
+    np.testing.assert_array_equal(a, b)
+    assert ds[1] is ds._cache[1]  # cache hit returns same object
