@@ -68,13 +68,14 @@ def build_dataset(cfg: Config):
 
 
 def main(argv=None) -> int:
-    from ..utils.platform import ensure_platform
+    from ..utils.platform import apply_matmul_precision, ensure_platform
 
     ensure_platform()
     argv = sys.argv[1:] if argv is None else argv
     texrec = any(a.startswith("eval.texrec_dirs") for a in argv)
     argv = [a for a in argv if not a.startswith("eval.texrec_dirs")]
     cfg = apply_overrides(Config(), argv)
+    apply_matmul_precision(cfg.model.matmul_precision)
 
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
     model, model_cfg = create_model(cfg.model.name, cfg.model.image_size,

@@ -30,13 +30,14 @@ _DEFAULT_LIMITS = {"met": 2000, "imagenet": 50000}
 
 
 def main(argv=None) -> int:
-    from ..utils.platform import ensure_platform
+    from ..utils.platform import apply_matmul_precision, ensure_platform
 
     ensure_platform()
     argv = sys.argv[1:] if argv is None else argv
     crop = any(a.startswith("sample.crop") for a in argv)
     argv = [a for a in argv if not a.startswith("sample.crop")]
     cfg = apply_overrides(Config(), argv)
+    apply_matmul_precision(cfg.model.matmul_precision)
     limit = cfg.eval.limit or _DEFAULT_LIMITS.get(cfg.data.dataset, 2000)
 
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32

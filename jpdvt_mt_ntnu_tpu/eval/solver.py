@@ -57,7 +57,7 @@ class PuzzleSolver:
     def __init__(self, model, model_config, diffusion: Diffusion, *,
                  grid_size: int = 3, mode: str = "faithful",
                  assignment_method: str = "greedy", seed: int = 0,
-                 donate_condition: bool = False):
+                 donate_condition: bool = False, mesh=None):
         cfg = model_config
         self.model = model
         self.cfg = cfg
@@ -74,6 +74,11 @@ class PuzzleSolver:
             jax.random.key(seed), (1, cfg.num_tokens, cfg.code_dim))
         self._rng = jax.random.key(seed + 1)
 
+        # Optional multi-device data parallelism: with a mesh, batches are
+        # sharded over the 'data' axis before the jitted programs run and
+        # XLA partitions the whole solve (the DataParallel/DDP-inference
+        # replacement, SURVEY.md §2.2).
+        self.mesh = mesh
         donate = (1,) if donate_condition else ()
         self._solve_codes = jax.jit(self._solve_codes_impl, donate_argnums=donate)
         self._solve_and_score = jax.jit(self._solve_and_score_impl)
@@ -109,6 +114,16 @@ class PuzzleSolver:
 
     # ------------------------------------------------------------------ API
 
+    def _place(self, *arrays):
+        """Shard batch dims over the mesh's 'data' axis when configured."""
+        if self.mesh is None:
+            return arrays if len(arrays) > 1 else arrays[0]
+        from ..parallel.sharding import batch_sharding
+
+        out = tuple(jax.device_put(a, batch_sharding(self.mesh, a.ndim))
+                    for a in arrays)
+        return out if len(out) > 1 else out[0]
+
     def scramble(self, x: jnp.ndarray, rng: jax.Array):
         """Random per-image scramble. x: (B,H,W,C) -> (scrambled, indices)."""
         p = self.grid * self.grid
@@ -117,7 +132,7 @@ class PuzzleSolver:
 
     def solve(self, params, x_scrambled: jnp.ndarray) -> np.ndarray:
         """Predict slot-per-piece for scrambled images. -> (B, P) int."""
-        pred, dist = self._solve_codes(params, x_scrambled)
+        pred, dist = self._solve_codes(params, self._place(x_scrambled))
         if self.assignment_method == "hungarian":
             from ..ops import native
 
@@ -140,6 +155,7 @@ class PuzzleSolver:
             return SolveResult(pred, np.asarray(indices),
                                eq.all(-1).astype(np.int32),
                                eq.sum(-1).astype(np.int32))
+        x, indices = self._place(x, indices)
         pred, puzzle, patch, _ = self._solve_and_score(params, x, indices)
         return SolveResult(np.asarray(pred), np.asarray(indices),
                            np.asarray(puzzle), np.asarray(patch))

@@ -62,10 +62,11 @@ def build_datasets(cfg: Config):
 
 
 def main(argv=None) -> int:
-    from ..utils.platform import ensure_platform
+    from ..utils.platform import apply_matmul_precision, ensure_platform
 
     ensure_platform()
     cfg = apply_overrides(Config(), sys.argv[1:] if argv is None else argv)
+    apply_matmul_precision(cfg.model.matmul_precision)
     is_main = jax.process_index() == 0
 
     exp_dir = auto_experiment_dir(cfg.train.results_dir, cfg.data.dataset,

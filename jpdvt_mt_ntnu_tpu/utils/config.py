@@ -19,6 +19,10 @@ class ModelConfig:
     image_size: int = 192
     compute_dtype: str = "bfloat16"   # "float32" for parity runs
     attn_impl: Optional[str] = None   # None = auto
+    # Parity runs (SURVEY.md §7.3 item 2): "highest" forces fp32 matmuls on
+    # the MXU (the analogue of disabling the reference's TF32,
+    # train_JPDVT.py:5-6); None keeps the backend default (fast).
+    matmul_precision: Optional[str] = None
     # 0 = use the registry values; override for scaled-down smoke runs.
     depth: int = 0
     hidden_size: int = 0

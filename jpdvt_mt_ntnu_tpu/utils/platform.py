@@ -12,6 +12,15 @@ from __future__ import annotations
 import os
 
 
+def apply_matmul_precision(precision: str | None) -> None:
+    """Set the global default matmul precision ("highest" for parity runs)."""
+    if not precision:
+        return
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", precision)
+
+
 def ensure_platform() -> None:
     env = os.environ.get("JAX_PLATFORMS")
     if not env:

@@ -79,6 +79,24 @@ def test_reconstruct_restores_original():
     np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-6)
 
 
+def test_solver_data_parallel_over_mesh():
+    """Batch-sharded solve over 8 CPU devices == single-device result."""
+    from jpdvt_mt_ntnu_tpu.parallel import MeshSpec, make_mesh
+
+    solver_ref, cfg = _make(mode="fast")
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    _, cfg2 = create_model("JPDVT", input_size=48, depth=1, hidden_size=32,
+                           num_heads=2, attn_impl="xla")
+    solver_dp = PuzzleSolver(_OracleModel(cfg2, 3), cfg2,
+                             create_diffusion("10"), grid_size=3,
+                             mode="fast", mesh=mesh)
+    x = _slot_images(16, 48, 3)
+    ref = solver_ref.evaluate(None, x, jax.random.key(4))
+    dp = solver_dp.evaluate(None, x, jax.random.key(4))
+    np.testing.assert_array_equal(dp.pred, ref.pred)
+    assert dp.puzzle_accuracy == 1.0
+
+
 def test_solver_with_real_dit_runs():
     """Untrained tiny DiT end-to-end: valid permutations, not accuracy."""
     model, cfg = create_model("JPDVT", input_size=48, depth=1, hidden_size=32,
