@@ -97,6 +97,7 @@ def main(argv=None) -> int:
         shared_perm=cfg.task.shared_perm,
         ema_decay=cfg.train.ema_decay,
         crop_pieces=cfg.model.image_size // grid if cfg.task.crop else None,
+        t_bias=cfg.train.t_bias,
     )
     piece_code = jnp.asarray(grid_code(model_cfg.code_dim, grid))
     train_step = make_train_step(model, diffusion, optimizer, task, piece_code)

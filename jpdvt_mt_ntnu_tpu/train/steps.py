@@ -38,6 +38,12 @@ class TrainTask:
     shared_perm: bool = True
     ema_decay: float = 0.9999
     crop_pieces: int | None = None  # ImageNet --crop: inner piece crop px
+    # Timestep sampling bias: 0 = uniform (reference parity,
+    # train_JPDVT.py:354). >0 skews draws toward HIGH t via
+    # t = (T-1)*u^(1/(1+bias)) — the positional-inference signal lives at
+    # high t where the code input is uninformative; biasing there speeds up
+    # learning the image->position mapping.
+    t_bias: float = 0.0
 
 
 def make_train_step(model, diffusion: Diffusion, optimizer: optax.GradientTransformation,
@@ -79,7 +85,12 @@ def make_train_step(model, diffusion: Diffusion, optimizer: optax.GradientTransf
         b = images.shape[0]
         # Uniform timesteps, as the reference draws torch.randint
         # (train_JPDVT.py:354). Spaced chain == full chain for training.
-        t = jax.random.randint(k_t, (b,), 0, diffusion.schedule.T)
+        if task.t_bias > 0:
+            u = jax.random.uniform(k_t, (b,))
+            t = ((diffusion.schedule.T - 1)
+                 * u ** (1.0 / (1.0 + task.t_bias))).astype(jnp.int32)
+        else:
+            t = jax.random.randint(k_t, (b,), 0, diffusion.schedule.T)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, images, t, k_loss)

@@ -76,6 +76,7 @@ class TrainConfig:
     weight_decay: float = 0.0
     ema_decay: float = 0.9999
     grad_clip: Optional[float] = None
+    t_bias: float = 0.0               # >0 skews timestep draws toward high t
     log_every: int = 100
     ckpt_every: int = 50_000
     global_seed: int = 0
