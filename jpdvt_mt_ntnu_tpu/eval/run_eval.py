@@ -28,9 +28,13 @@ from .solver import PuzzleSolver
 
 
 def load_params(cfg: Config, model, model_cfg):
-    """Load params from an Orbax train checkpoint (EMA by default, like the
-    reference evaluating EMA-free 'model' weights but exposing both) or a
-    converted-torch npz; random init if no checkpoint given."""
+    """Load params from an Orbax train checkpoint or a converted-torch npz;
+    random init if no checkpoint given.
+
+    ``eval.use_ema`` selects the EMA weights (default; usually better) vs
+    the raw training weights — the reference evaluates the raw 'model'
+    entry of its checkpoint dict (inference.py:207-211), i.e.
+    ``eval.use_ema=false`` is the strict-parity setting."""
     if not cfg.eval.checkpoint:
         return model.init(jax.random.key(0),
                           jnp.zeros((1, model_cfg.input_size,

@@ -45,7 +45,8 @@ def build_datasets(cfg: Config):
         train = TEXMETDataset(d.data_path, "train", size)
         val = TEXMETDataset(d.data_path, "val", size)
     elif d.dataset == "synthetic":
-        train = SyntheticPuzzles(288 if cfg.task.crop else size, n=2048)
+        train = SyntheticPuzzles(288 if cfg.task.crop else size,
+                                 n=d.synthetic_n)
         val = SyntheticPuzzles(288 if cfg.task.crop else size, n=128, seed=7)
     else:
         # ImageNet-style folder; reference always center-crops to 288 and
@@ -123,12 +124,23 @@ def main(argv=None) -> int:
 
     device_data = None
     if cfg.data.device_cache:
+        from concurrent.futures import ThreadPoolExecutor
+
         ds = loader.dataset
-        stack = np.stack([ds[i] for i in range(len(ds))])
+        with ThreadPoolExecutor(max(4, cfg.data.num_workers)) as pool:
+            stack = np.stack(list(pool.map(ds.__getitem__, range(len(ds)))))
         device_data = shard_batch(
             {"x": jnp.asarray(stack, dtype=jnp.bfloat16)}, mesh)["x"]
         logger.info(f"device-cached dataset: {device_data.shape} "
                     f"({device_data.nbytes / 1e6:.0f} MB bf16 in HBM)")
+
+    @jax.jit
+    def _augment(batch, dy, dx, fh, fv):
+        # Label-consistent clean-image augmentation on device (traced
+        # operands: ONE compiled program for all shifts/flips).
+        batch = jnp.roll(batch, (dy, dx), axis=(1, 2))
+        batch = jnp.where(fh, batch[:, :, ::-1], batch)
+        return jnp.where(fv, batch[:, ::-1], batch)
 
     def epoch_batches(epoch: int):
         if device_data is None:
@@ -138,10 +150,18 @@ def main(argv=None) -> int:
             return
         n = device_data.shape[0]
         b = cfg.data.global_batch_size
-        perm = np.random.default_rng(
-            cfg.train.global_seed * 100003 + epoch).permutation(n)
+        erng = np.random.default_rng(cfg.train.global_seed * 100003 + epoch)
+        perm = erng.permutation(n)
         for i in range(n // b):
-            yield device_data[jnp.asarray(perm[i * b:(i + 1) * b])]
+            batch = device_data[jnp.asarray(perm[i * b:(i + 1) * b])]
+            if cfg.data.device_cache_augment:
+                h = batch.shape[1]
+                batch = _augment(batch,
+                                 jnp.int32(erng.integers(0, h)),
+                                 jnp.int32(erng.integers(0, h)),
+                                 jnp.bool_(erng.random() < 0.5),
+                                 jnp.bool_(erng.random() < 0.5))
+            yield batch
 
     logger.info(f"Training for {cfg.train.epochs} epochs, "
                 f"{len(loader)} steps/epoch")

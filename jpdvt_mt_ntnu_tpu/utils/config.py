@@ -67,6 +67,12 @@ class DataConfig:
     # on-device — removes per-step H2D entirely. For datasets that fit
     # (synthetic, MET-scale); augmenting datasets re-stage per epoch.
     device_cache: bool = False
+    # On-device augmentation of device-cached batches: random circular roll
+    # + horizontal/vertical flips applied to the CLEAN image before the
+    # jigsaw shuffle (targets derive from the augmented image, so this is
+    # always label-consistent).
+    device_cache_augment: bool = False
+    synthetic_n: int = 2048           # synthetic dataset size
 
 
 @dataclasses.dataclass
