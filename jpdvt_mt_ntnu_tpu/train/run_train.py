@@ -110,9 +110,14 @@ def main(argv=None) -> int:
     logger.info(f"{cfg.model.name}: {n_params / 1e6:.1f}M params, "
                 f"mesh={dict(mesh.shape)}")
 
-    ckpt = CheckpointManager(cfg.train.resume or f"{exp_dir}/checkpoints"
-                             if exp_dir else "checkpoints")
-    if cfg.train.resume and ckpt.latest_step() is not None:
+    ckpt = CheckpointManager(
+        cfg.train.resume
+        or (f"{exp_dir}/checkpoints" if exp_dir else "checkpoints"))
+    if cfg.train.resume:
+        if ckpt.latest_step() is None:
+            raise FileNotFoundError(
+                f"train.resume={cfg.train.resume!r} contains no checkpoints "
+                "— refusing to silently restart from scratch")
         state = ckpt.restore(state)
         logger.info(f"Resumed from step {int(state.step)}")
 
