@@ -95,9 +95,14 @@ class PuzzleSolver:
         b = x_scrambled.shape[0]
         noise = jnp.broadcast_to(
             self.noise_template, (b,) + self.noise_template.shape[1:])
-        final = self.diffusion.p_sample_loop(
-            self._model_fn(params), x_scrambled, noise, self._rng,
-            mode=self.mode, clip_denoised=False)
+        if self.mode == "ddim":
+            final = self.diffusion.ddim_sample_loop(
+                self._model_fn(params), x_scrambled, noise, self._rng,
+                eta=0.0, clip_denoised=False)
+        else:
+            final = self.diffusion.p_sample_loop(
+                self._model_fn(params), x_scrambled, noise, self._rng,
+                mode=self.mode, clip_denoised=False)
         pieces = jigsaw.tokens_to_piece_code(final, self.grid, self.sub)
         dist = assignment.manhattan_distances(pieces, self.canon)
         pred = assignment.greedy_permutation(dist)

@@ -42,7 +42,8 @@ class ModelConfig:
 @dataclasses.dataclass
 class DiffusionConfig:
     timestep_respacing: str = ""      # training default: full 1000 steps
-    sampling_steps: int = 250         # eval respacing (inference.py:48)
+    # Eval respacing (inference.py:48); accepts "250", "ddim25", "10,20".
+    sampling_steps: str = "250"
     noise_schedule: str = "linear"
     predict_xstart: bool = True
     sigma_small: bool = True
