@@ -32,7 +32,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import multihead_attention
 from ..utils.pos_embed import get_2d_sincos_pos_embed, timestep_embedding
 
 Dtype = Any
@@ -95,7 +94,12 @@ class Mlp(nn.Module):
 
 
 class Attention(nn.Module):
-    """timm-compatible MHA: fused qkv projection + output projection."""
+    """timm-compatible MHA: fused qkv projection + output projection.
+
+    Runs attention straight off the fused qkv features (no head-layout
+    transposes — those cost more than the attention math at JPDVT sizes;
+    see ops/attention.py fused_qkv_attention).
+    """
 
     hidden_size: int
     num_heads: int
@@ -105,15 +109,19 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b, n, d = x.shape
-        head_dim = self.hidden_size // self.num_heads
+        from ..ops.attention import (default_impl, fused_qkv_attention,
+                                     fused_qkv_attention_xla)
+
         qkv = nn.Dense(3 * self.hidden_size, kernel_init=_xavier,
                        dtype=self.dtype, param_dtype=self.param_dtype,
                        name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = [jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)]  # (B,H,N,Dh)
-        o = multihead_attention(q, k, v, impl=self.attn_impl)
-        o = jnp.moveaxis(o, 1, 2).reshape(b, n, self.hidden_size)
+        impl = self.attn_impl or default_impl()
+        if impl == "pallas":
+            o = fused_qkv_attention(qkv, self.num_heads)
+        elif impl == "interpret":
+            o = fused_qkv_attention(qkv, self.num_heads, True)
+        else:
+            o = fused_qkv_attention_xla(qkv, self.num_heads)
         return nn.Dense(self.hidden_size, kernel_init=_xavier, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="proj")(o)
 

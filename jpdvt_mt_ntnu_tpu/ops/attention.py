@@ -136,7 +136,177 @@ def _attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
 
 
 def default_impl() -> str:
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    """Measured on TPU v5e (250-step solve, batch 32): the transpose-free
+    XLA path runs the DiT step in 5.75 ms vs 9.35 ms for the per-head
+    Pallas kernel — at 144 tokens the MXU-tiled XLA batched matmuls beat
+    many tiny kernel launches. Default to XLA everywhere; the Pallas
+    kernels stay selectable (attn_impl='pallas') and tested.
+    """
+    return "xla"
+
+
+# ---------------------------------------------------------------------------
+# Fused-qkv attention: no head transposes.
+#
+# The (B, N, 3, H, Dh) -> (B, H, N, Dh) reshuffle around a conventional
+# attention call costs more than the attention math itself at JPDVT's sizes
+# (measured: ~38% of a solve step for ~3% of FLOPs). These kernels read the
+# head slices DIRECTLY out of the fused qkv projection output
+# (B, N, 3*H*Dh; feature layout [q|k|v][head][dim], the timm/torch layout)
+# via BlockSpec column indexing, and write the output back in (B, N, H*Dh)
+# layout — zero layout-change ops in XLA.
+# ---------------------------------------------------------------------------
+
+
+def _heads_per_block(d: int) -> int:
+    """Heads packed per program so the block's lane dim is 128-aligned
+    (Mosaic requires last-dim blocks divisible by 128 or full-size)."""
+    if 128 % d == 0:
+        return 128 // d
+    return 1  # requires d % 128 == 0 (checked by caller)
+
+
+def _qkv_attn_kernel(qkv_ref, o_ref, *, scale: float, d: int, hpb: int):
+    for i in range(hpb):
+        sl = slice(i * d, (i + 1) * d)
+        q = qkv_ref[0, :, 0, sl].astype(jnp.float32) * scale
+        k = qkv_ref[0, :, 1, sl].astype(jnp.float32)
+        v = qkv_ref[0, :, 2, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
+def _qkv_attn_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, scale: float,
+                         d: int, hpb: int):
+    for i in range(hpb):
+        sl = slice(i * d, (i + 1) * d)
+        q = qkv_ref[0, :, 0, sl].astype(jnp.float32) * scale
+        k = qkv_ref[0, :, 1, sl].astype(jnp.float32)
+        v = qkv_ref[0, :, 2, sl].astype(jnp.float32)
+        do = do_ref[0, :, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        dv = jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dk = jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        dqkv_ref[0, :, 0, sl] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 1, sl] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2, sl] = dv.astype(dqkv_ref.dtype)
+
+
+def _qkv_geometry(f: int, num_heads: int):
+    """-> (head_dim, heads_per_block) or (head_dim, None) if the layout
+    cannot form a Mosaic-legal block (callers fall back to XLA)."""
+    d = f // (3 * num_heads)
+    hpb = min(_heads_per_block(d), num_heads)
+    while hpb > 1 and num_heads % hpb:
+        hpb -= 1
+    w = d * hpb
+    if w % 128 and w != num_heads * d:
+        return d, None
+    return d, hpb
+
+
+def _qkv_specs(n: int, d: int, hpb: int):
+    w = d * hpb
+    qkv_spec = pl.BlockSpec((1, n, 3, w), lambda b, g: (b, 0, 0, g),
+                            memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, n, w), lambda b, g: (b, 0, g),
+                          memory_space=pltpu.VMEM)
+    return qkv_spec, o_spec
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _fused_qkv_attention_fwd(qkv, num_heads, interpret=False):
+    b, n, f = qkv.shape
+    d, hpb = _qkv_geometry(f, num_heads)
+    scale = d ** -0.5
+    qkv4 = qkv.reshape(b, n, 3, num_heads * d)
+    qkv_spec, o_spec = _qkv_specs(n, d, hpb)
+    return pl.pallas_call(
+        functools.partial(_qkv_attn_kernel, scale=scale, d=d, hpb=hpb),
+        out_shape=jax.ShapeDtypeStruct((b, n, num_heads * d), qkv.dtype),
+        grid=(b, num_heads // hpb),
+        in_specs=[qkv_spec],
+        out_specs=o_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * num_heads * (2 * n * n * d),
+            bytes_accessed=4 * b * n * f * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * n * n,
+        ),
+    )(qkv4)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _fused_qkv_attention_bwd_impl(qkv, do, num_heads, interpret=False):
+    b, n, f = qkv.shape
+    d, hpb = _qkv_geometry(f, num_heads)
+    scale = d ** -0.5
+    qkv4 = qkv.reshape(b, n, 3, num_heads * d)
+    qkv_spec, o_spec = _qkv_specs(n, d, hpb)
+    dqkv = pl.pallas_call(
+        functools.partial(_qkv_attn_bwd_kernel, scale=scale, d=d, hpb=hpb),
+        out_shape=jax.ShapeDtypeStruct((b, n, 3, num_heads * d), qkv.dtype),
+        grid=(b, num_heads // hpb),
+        in_specs=[qkv_spec, o_spec],
+        out_specs=qkv_spec,
+        interpret=interpret,
+    )(qkv4, do)
+    return dqkv.reshape(b, n, f)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _fused_qkv_attention_pallas(qkv, num_heads: int, interpret: bool = False):
+    return _fused_qkv_attention_fwd(qkv, num_heads, interpret)
+
+
+def fused_qkv_attention(qkv, num_heads: int, interpret: bool = False):
+    """Attention straight from the fused qkv projection.
+
+    qkv: (B, N, 3*H*Dh) in [q|k|v][head][dim] feature order ->
+    (B, N, H*Dh). Pallas when the head layout forms Mosaic-legal blocks,
+    transparent XLA fallback otherwise.
+    """
+    _, hpb = _qkv_geometry(qkv.shape[-1], num_heads)
+    if hpb is None:
+        return fused_qkv_attention_xla(qkv, num_heads)
+    return _fused_qkv_attention_pallas(qkv, num_heads, interpret)
+
+
+def _fqa_fwd(qkv, num_heads, interpret):
+    return _fused_qkv_attention_fwd(qkv, num_heads, interpret), qkv
+
+
+def _fqa_bwd(num_heads, interpret, qkv, do):
+    return (_fused_qkv_attention_bwd_impl(qkv, do, num_heads, interpret),)
+
+
+_fused_qkv_attention_pallas.defvjp(_fqa_fwd, _fqa_bwd)
+
+
+def fused_qkv_attention_xla(qkv, num_heads: int):
+    """Reference implementation of fused_qkv_attention in plain XLA."""
+    b, n, f = qkv.shape
+    d = f // (3 * num_heads)
+    q, k, v = (a.reshape(b, n, num_heads, d)
+               for a in jnp.split(qkv, 3, axis=-1))
+    q = jnp.moveaxis(q, 2, 1)
+    k = jnp.moveaxis(k, 2, 1)
+    v = jnp.moveaxis(v, 2, 1)
+    o = _attention_xla(q, k, v)
+    return jnp.moveaxis(o, 1, 2).reshape(b, n, num_heads * d)
 
 
 def multihead_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
