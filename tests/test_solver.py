@@ -97,6 +97,26 @@ def test_solver_data_parallel_over_mesh():
     assert dp.puzzle_accuracy == 1.0
 
 
+def test_evaluate_masked_flow():
+    solver, cfg = _make(mode="fast")
+    x = _slot_images(4, 48, 3)
+    # num_masked=0 must reduce to the ordinary perfect evaluation
+    res0 = solver.evaluate_masked(None, x, jax.random.key(7), num_masked=0)
+    assert res0.puzzle_accuracy == 1.0
+    # masking degrades the pixel oracle but still yields valid permutations
+    for fill in ("noise", "zero"):
+        res2 = solver.evaluate_masked(None, x, jax.random.key(7),
+                                      num_masked=2, mask_fill=fill)
+        assert res2.pred.shape == (4, 9)
+        for row in res2.pred:
+            assert sorted(row.tolist()) == list(range(9))
+        assert res2.patch_matches.sum() < res0.patch_matches.sum()
+    import pytest
+
+    with pytest.raises(ValueError):
+        solver.evaluate_masked(None, x, jax.random.key(7), 1, mask_fill="bad")
+
+
 def test_solver_with_real_dit_runs():
     """Untrained tiny DiT end-to-end: valid permutations, not accuracy."""
     model, cfg = create_model("JPDVT", input_size=48, depth=1, hidden_size=32,
