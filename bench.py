@@ -59,11 +59,16 @@ def throughput(solver, params, x, iters: int = 3) -> float:
 
 
 def main():
+    import sys
+
     n_chips = jax.local_device_count()
     log(f"backend={jax.default_backend()} chips={n_chips}")
 
+    # Batch 32 is the measured optimum on v5e (PERF.md); pass --full to
+    # re-sweep (each config is a fresh, slow remote compile).
+    batches = (32, 64, 128) if "--full" in sys.argv else (32,)
     best, best_batch = 0.0, 0
-    for batch in (32, 64, 128):
+    for batch in batches:
         solver, params, x = build("faithful", batch)
         tp = throughput(solver, params, x)
         log(f"faithful {STEPS}-step batch={batch}: {tp:.2f} puzzles/s")

@@ -80,21 +80,33 @@ class EvalHarness:
 
     def _save_images(self, name: str, original, scrambled, reconstructed,
                      puzzle_correct: int, patch_acc: float) -> None:
-        """Metric-tagged output PNGs, reference naming (inference.py:332-344)."""
+        """Metric-tagged output PNGs, reference naming (inference.py:332-344),
+        plus a combined original|scrambled|reconstructed panel with white
+        spacers (the inference_4x4.py:337-361 / inference_ddp.py:92-136
+        format)."""
         from PIL import Image
 
         out_dir = os.path.join(self.results_dir, f"Grid{self.solver.grid}")
         os.makedirs(out_dir, exist_ok=True)
         stem = os.path.splitext(name)[0]
 
+        def to_u8(arr):
+            return (T.denormalize(np.asarray(arr)) * 255).astype(np.uint8)
+
         def save(arr, suffix):
-            a = (T.denormalize(np.asarray(arr)) * 255).astype(np.uint8)
-            Image.fromarray(a).save(os.path.join(out_dir, f"{stem}_{suffix}.png"))
+            Image.fromarray(to_u8(arr)).save(
+                os.path.join(out_dir, f"{stem}_{suffix}.png"))
 
         save(original, "original")
         save(scrambled, "random")
         save(reconstructed,
              f"reconstructed_pAcc={puzzle_correct}_patchAcc={patch_acc:.2f}")
+        panels = [to_u8(a) for a in (original, scrambled, reconstructed)]
+        spacer = np.full((panels[0].shape[0], 8, 3), 255, np.uint8)
+        combined = np.concatenate(
+            [panels[0], spacer, panels[1], spacer, panels[2]], axis=1)
+        Image.fromarray(combined).save(
+            os.path.join(out_dir, f"{stem}_combined.png"))
 
     # ------------------------------------------------------------------ run
 

@@ -76,7 +76,9 @@ def main(argv=None) -> int:
     logger = rank0_logger(is_main, exp_dir)
     writer = MetricWriter(exp_dir or ".", use_wandb=cfg.train.wandb,
                           run_name=(exp_dir or "").split("/")[-1],
-                          config=cfg.to_dict(), is_main=is_main)
+                          config=cfg.to_dict(), is_main=is_main,
+                          tags=[cfg.model.name, cfg.data.dataset,
+                                f"grid{cfg.task.grid_size}"])
     logger.info(f"Config:\n{cfg.to_json()}")
 
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32

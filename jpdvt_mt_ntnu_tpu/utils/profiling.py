@@ -18,9 +18,9 @@ import jax
 
 
 @contextlib.contextmanager
-def trace(log_dir: str, host_tracer_level: int = 2):
+def trace(log_dir: str):
     """Capture an XLA profiler trace: ``with trace("prof/"): run_steps()``."""
-    jax.profiler.start_trace(log_dir, host_tracer_level=host_tracer_level)
+    jax.profiler.start_trace(log_dir)
     try:
         yield
     finally:
