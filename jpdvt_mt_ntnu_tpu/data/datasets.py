@@ -41,6 +41,19 @@ def _split_indices(n: int, seed: int = 42,
     return train, val, test
 
 
+class _AtomicCounter:
+    """GIL-atomic monotonically-increasing counter (itertools.count.next
+    is atomic under CPython)."""
+
+    def __init__(self):
+        import itertools
+
+        self._c = itertools.count()
+
+    def next(self) -> int:
+        return next(self._c)
+
+
 class _Base:
     image_files: list[str]
 
@@ -71,20 +84,25 @@ class METDataset(_Base):
         train, val, test = _split_indices(len(files), seed=seed)
         pick = {"train": train, "val": val, "test": test}[split]
         self.image_files = [files[i] for i in pick]
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._epoch_salt = _AtomicCounter()
 
     def __getitem__(self, i: int) -> np.ndarray:
+        # Fresh per-call generator: numpy Generators are not thread-safe and
+        # the Loader maps __getitem__ over a thread pool. The atomic counter
+        # salts repeat visits so augmentations differ across epochs.
+        rng = np.random.default_rng((self._seed, i, self._epoch_salt.next()))
         img = self._load(self.image_files[i])
         img = T.resize_shorter(img, 398)
         if self.split == "train":
-            img = T.random_crop(img, 398, self._rng)
-            if self._rng.random() < 0.5:
+            img = T.random_crop(img, 398, rng)
+            if rng.random() < 0.5:
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
-            img = T.color_jitter(img, self._rng)
+            img = T.color_jitter(img, rng)
         else:
             img = T.center_crop(img, 398)
         arr = T.normalize(T.to_array(img))
-        return rand_erode(arr, self._rng, n=3, patch_out=96, region=100, gap=48)
+        return rand_erode(arr, rng, n=3, patch_out=96, region=100, gap=48)
 
 
 class TEXMETDataset(_Base):
@@ -105,26 +123,28 @@ class TEXMETDataset(_Base):
         self.missing = len(candidates) - len(self.image_files)
         # patch size 64 for 192, 96 for 288 (datasets.py:192-200)
         self.patch_out = 64 if image_size == 192 else 96
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._epoch_salt = _AtomicCounter()
 
     def __getitem__(self, i: int) -> np.ndarray:
         out_size = self.patch_out * 3
+        rng = np.random.default_rng((self._seed, i, self._epoch_salt.next()))
         try:
             img = self._load(self.image_files[i])
             img = T.safe_resize(img)
             img = T.resize_shorter(img, 398)
             if self.split == "train":
-                img = T.random_crop(img, 398, self._rng)
-                if self._rng.random() < 0.5:
+                img = T.random_crop(img, 398, rng)
+                if rng.random() < 0.5:
                     img = img.transpose(Image.FLIP_LEFT_RIGHT)
-                if self._rng.random() < 0.2:
+                if rng.random() < 0.2:
                     img = img.transpose(Image.FLIP_TOP_BOTTOM)
-                img = T.color_jitter(img, self._rng, brightness=0.3,
+                img = T.color_jitter(img, rng, brightness=0.3,
                                      contrast=0.3, saturation=0.3, hue=0.05)
             else:
                 img = T.center_crop(img, 398)
             arr = T.normalize(T.to_array(img))
-            return rand_erode(arr, self._rng, n=3, patch_out=self.patch_out,
+            return rand_erode(arr, rng, n=3, patch_out=self.patch_out,
                               region=self.patch_out + self.patch_out // 2,
                               gap=self.patch_out // 2)
         except Exception:

@@ -59,14 +59,26 @@ class Loader:
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_checked(item) -> bool:
+            # bounded put that honors the stop flag (a plain put() would
+            # park forever if the consumer abandoned iteration)
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for b in batches:
                     if stop.is_set():
                         return
                     items = list(pool.map(self.dataset.__getitem__, b))
-                    out_q.put(np.stack(items))
-            out_q.put(None)
+                    if not put_checked(np.stack(items)):
+                        return
+            put_checked(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

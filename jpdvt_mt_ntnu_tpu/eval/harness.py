@@ -118,8 +118,13 @@ class EvalHarness:
         p = self.solver.grid ** 2
         state = self.journal.load()
         my_paths = list(image_paths)[self.process_index::self.process_count]
-        todo = [q for q in my_paths
-                if os.path.basename(q) not in state.processed]
+        # Journal key: basename when unique (reference schema,
+        # inference.py:172), full path otherwise (class-per-dir trees reuse
+        # basenames; keying on them would mis-attribute results).
+        basenames = [os.path.basename(q) for q in image_paths]
+        unique_base = len(set(basenames)) == len(basenames)
+        key_of = os.path.basename if unique_base else (lambda q: q)
+        todo = [q for q in my_paths if key_of(q) not in state.processed]
         if limit:
             todo = todo[:max(0, limit - state.count)]
         self.logger.info(
@@ -129,16 +134,17 @@ class EvalHarness:
 
         rng = np.random.default_rng(self.seed + self.process_index)
         start = time.time()
+        done_this_run = 0
         for chunk_start in range(0, len(todo), self.batch_size):
             chunk = todo[chunk_start:chunk_start + self.batch_size]
             images, names = [], []
             for q in chunk:
                 try:
                     images.append(loader(q))
-                    names.append(os.path.basename(q))
+                    names.append(key_of(q))
                 except Exception as e:  # decode failure: skip + log
-                    self.err_logger.error(f"Failed on image {os.path.basename(q)}: {e}")
-                    self.logger.error(f"Skipping {os.path.basename(q)} due to error.")
+                    self.err_logger.error(f"Failed on image {key_of(q)}: {e}")
+                    self.logger.error(f"Skipping {key_of(q)} due to error.")
             if not images:
                 continue
             t0 = time.time()
@@ -166,6 +172,7 @@ class EvalHarness:
                 state.puzzle_correct += int(res.puzzle_correct[i])
                 state.patch_matches += int(res.patch_matches[i])
                 state.count += 1
+                done_this_run += 1
             pa, ta = state.accuracy(p)
             self.logger.info(
                 f"{state.count} done | batch {len(names)} in {elapsed:.2f}s "
@@ -174,8 +181,10 @@ class EvalHarness:
 
         total = time.time() - start
         pa, ta = state.accuracy(p)
+        # Throughput counts only items processed THIS run; state.count also
+        # includes rows resumed from earlier journals.
         report = EvalReport(pa, ta, state.count, total,
-                            (state.count / total) if total > 0 else 0.0)
+                            (done_this_run / total) if total > 0 else 0.0)
         self.logger.info("============================================")
         self.logger.info(f"Done. Processed {state.count} images "
                          f"(including resumed ones).")
@@ -189,10 +198,11 @@ class EvalHarness:
         """Evaluate an indexable dataset (items are HWC [-1,1] arrays)."""
         names = getattr(dataset, "image_files", None) or [
             f"item_{i:06d}" for i in range(len(dataset))]
-        index = {os.path.basename(n): i for i, n in enumerate(names)}
+        index = {n: i for i, n in enumerate(names)}  # full names: no
+        # basename collapsing (class dirs reuse basenames)
 
         def loader(path):
-            return dataset[index[os.path.basename(path)]]
+            return dataset[index[path]]
 
         return self.run_paths(list(names), loader=loader, limit=limit)
 

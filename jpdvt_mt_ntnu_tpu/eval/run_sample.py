@@ -49,7 +49,18 @@ def main(argv=None) -> int:
                           create_diffusion(str(cfg.diffusion.sampling_steps)),
                           grid_size=cfg.task.grid_size,
                           mode=cfg.diffusion.sampler_mode, seed=cfg.eval.seed)
-    dataset = build_dataset(cfg)
+    if crop:
+        # Gap-augmentation needs the larger source image (288 -> inner-crop
+        # to image_size), mirroring the training-side load (run_train
+        # build_datasets); loading at image_size would make the inner crop
+        # an identity no-op.
+        import dataclasses as _dc
+
+        big = _dc.replace(cfg.model, image_size=288)
+        cfg_big = _dc.replace(cfg, model=big)
+        dataset = build_dataset(cfg_big)
+    else:
+        dataset = build_dataset(cfg)
     grid = cfg.task.grid_size
     p = grid * grid
     bs = cfg.eval.batch_size

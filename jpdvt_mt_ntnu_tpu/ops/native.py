@@ -101,24 +101,34 @@ def hungarian_permutation(dist: np.ndarray) -> np.ndarray:
     return out[0] if squeeze else out
 
 
+def _pil_decode_center_crop(data: bytes, image_size: int) -> np.ndarray:
+    import io
+
+    from PIL import Image
+
+    from ..data import transforms as T
+
+    img = T.center_crop_arr(Image.open(io.BytesIO(data)).convert("RGB"),
+                            image_size)
+    return T.normalize(T.to_array(img))
+
+
 def decode_center_crop(data: bytes, image_size: int) -> np.ndarray:
     """JPEG/PNG bytes -> (S, S, 3) float32 in [-1, 1] via the native ADM
-    pipeline; raises ValueError on decode failure. Falls back to PIL."""
+    pipeline. Formats the native decoder rejects (CMYK/YCCK JPEGs, exotic
+    containers) transparently fall back to PIL; raises only when both fail.
+    """
     lib = _load()
     if lib is None:
-        import io
-
-        from PIL import Image
-
-        from ..data import transforms as T
-
-        img = T.center_crop_arr(Image.open(io.BytesIO(data)).convert("RGB"),
-                                image_size)
-        return T.normalize(T.to_array(img))
+        return _pil_decode_center_crop(data, image_size)
     out = np.empty((image_size, image_size, 3), dtype=np.float32)
     rc = lib.jn_decode_center_crop(data, len(data), image_size, out)
     if rc != 0:
-        raise ValueError(f"native decode failed (code {rc})")
+        try:
+            return _pil_decode_center_crop(data, image_size)
+        except Exception as e:
+            raise ValueError(
+                f"decode failed (native code {rc}; PIL: {e})") from e
     return out
 
 

@@ -115,7 +115,11 @@ def _parse_multipart(body: bytes, content_type: str) -> dict[str, bytes]:
     boundary = b"--" + m.group(1).encode()
     fields: dict[str, bytes] = {}
     for part in body.split(boundary):
-        part = part.strip(b"\r\n")
+        # strip ONLY the single protocol CRLF on each side — a binary
+        # payload may legitimately end in 0x0D/0x0A bytes
+        part = part.removeprefix(b"\r\n")
+        if part.endswith(b"\r\n"):
+            part = part[:-2]
         if not part or part == b"--":
             continue
         if b"\r\n\r\n" not in part:

@@ -73,6 +73,19 @@ def main(argv=None) -> int:
     exp_dir = auto_experiment_dir(cfg.train.results_dir, cfg.data.dataset,
                                   cfg.model.name, crop=cfg.task.crop,
                                   with_mask=cfg.task.add_mask) if is_main else None
+    if jax.process_count() > 1:
+        # Every host must agree on the checkpoint directory (Orbax saves of
+        # globally-sharded state are collective); broadcast host 0's pick.
+        from jax.experimental import multihost_utils
+
+        buf = np.zeros(512, np.uint8)
+        if exp_dir:
+            raw = exp_dir.encode()[:512]
+            buf[:len(raw)] = np.frombuffer(raw, np.uint8)
+        buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+        exp_dir_shared = bytes(buf[buf != 0]).decode()
+    else:
+        exp_dir_shared = exp_dir
     logger = rank0_logger(is_main, exp_dir)
     writer = MetricWriter(exp_dir or ".", use_wandb=cfg.train.wandb,
                           run_name=(exp_dir or "").split("/")[-1],
@@ -114,7 +127,7 @@ def main(argv=None) -> int:
 
     ckpt = CheckpointManager(
         cfg.train.resume
-        or (f"{exp_dir}/checkpoints" if exp_dir else "checkpoints"))
+        or (f"{exp_dir_shared}/checkpoints" if exp_dir_shared else "checkpoints"))
     if cfg.train.resume:
         if ckpt.latest_step() is None:
             raise FileNotFoundError(
@@ -126,7 +139,8 @@ def main(argv=None) -> int:
     loader, val_ds = build_datasets(cfg)
     validator = Validator(model, model_cfg, grid_size=grid,
                           sampling_steps=cfg.diffusion.sampling_steps,
-                          sampler_mode=cfg.diffusion.sampler_mode)
+                          sampler_mode=cfg.diffusion.sampler_mode,
+                          crop_pieces=task.crop_pieces)
     rng = jax.random.key(cfg.train.global_seed)
 
     device_data = None
@@ -189,20 +203,23 @@ def main(argv=None) -> int:
                             "epoch": epoch}, step)
                 running_loss, window_start, window_steps = 0.0, time.time(), 0
             if step % cfg.train.ckpt_every == 0:
-                if is_main:
-                    ckpt.save(state, metadata={"config": cfg.to_dict(),
-                                               "step": step})
-                    logger.info(f"Saved checkpoint at step {step}")
-                    val = validator(state.ema_params, val_ds)
-                    logger.info(f"Validation: {val}")
-                    writer.log(val, step)
-    if is_main:
-        ckpt.save(state, metadata={"config": cfg.to_dict(), "final": True},
-                  force=True)
-        val = validator(state.ema_params, val_ds)
-        logger.info(f"Final validation: {val}")
-        writer.finish(summary=val)
-        ckpt.wait()
+                # Orbax save and the validation solve are collective over
+                # globally-sharded state — every host participates; only
+                # logging/metrics stay rank-0 (the reference's rank-0
+                # torch.save does not translate to sharded pytrees).
+                ckpt.save(state, metadata={"config": cfg.to_dict(),
+                                           "step": step} if is_main else None)
+                logger.info(f"Saved checkpoint at step {step}")
+                val = validator(state.ema_params, val_ds)
+                logger.info(f"Validation: {val}")
+                writer.log(val, step)
+    ckpt.save(state,
+              metadata={"config": cfg.to_dict(), "final": True}
+              if is_main else None, force=True)
+    val = validator(state.ema_params, val_ds)
+    logger.info(f"Final validation: {val}")
+    writer.finish(summary=val)
+    ckpt.wait()
     return 0
 
 

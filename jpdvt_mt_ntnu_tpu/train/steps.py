@@ -87,8 +87,10 @@ def make_train_step(model, diffusion: Diffusion, optimizer: optax.GradientTransf
         # (train_JPDVT.py:354). Spaced chain == full chain for training.
         if task.t_bias > 0:
             u = jax.random.uniform(k_t, (b,))
-            t = ((diffusion.schedule.T - 1)
-                 * u ** (1.0 / (1.0 + task.t_bias))).astype(jnp.int32)
+            t = jnp.minimum(
+                (diffusion.schedule.T
+                 * u ** (1.0 / (1.0 + task.t_bias))).astype(jnp.int32),
+                diffusion.schedule.T - 1)  # include t = T-1
         else:
             t = jax.random.randint(k_t, (b,), 0, diffusion.schedule.T)
 

@@ -20,9 +20,10 @@ from ..eval.solver import PuzzleSolver
 
 class Validator:
     def __init__(self, model, model_cfg, *, grid_size: int = 3,
-                 sampling_steps: int = 250, num_images: int = 100,
+                 sampling_steps="250", num_images: int = 100,
                  batch_size: int = 50, seed: int = 42,
-                 sampler_mode: str = "faithful"):
+                 sampler_mode: str = "faithful",
+                 crop_pieces: Optional[int] = None):
         diffusion = create_diffusion(str(sampling_steps))
         self.solver = PuzzleSolver(model, model_cfg, diffusion,
                                    grid_size=grid_size, mode=sampler_mode,
@@ -30,6 +31,10 @@ class Validator:
         self.num_images = num_images
         self.batch_size = batch_size
         self.seed = seed
+        # task.crop trains on gap-augmented pieces cut from larger images
+        # (288 -> 192); validation must apply the same transform or the
+        # model sees wrongly-sized inputs.
+        self.crop_pieces = crop_pieces
 
     def __call__(self, params, dataset) -> dict:
         """Evaluate on up to num_images items of ``dataset``. Returns
@@ -41,6 +46,12 @@ class Validator:
         p = self.solver.grid ** 2
         for i in range(0, n, self.batch_size):
             batch = np.stack([dataset[int(j)] for j in picks[i:i + self.batch_size]])
+            if self.crop_pieces is not None:
+                from ..ops import jigsaw
+                import jax.numpy as jnp
+
+                batch = np.asarray(jigsaw.inner_crop_pieces(
+                    jnp.asarray(batch), self.solver.grid, self.crop_pieces))
             res = self.solver.evaluate(params, batch,
                                        jax.random.key(self.seed + i))
             puzzle += int(res.puzzle_correct.sum())

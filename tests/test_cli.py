@@ -32,6 +32,28 @@ def test_run_train_synthetic(tmp_path, monkeypatch):
     assert (exp / "checkpoints").exists()
 
 
+def test_run_train_crop_validation(tmp_path, monkeypatch):
+    """task.crop=true: validation must inner-crop val images to the model
+    size (regression: 288px batches fed to a crop-trained 192px... here
+    144px model crashed at the first checkpoint validation)."""
+    monkeypatch.chdir(tmp_path)
+    from jpdvt_mt_ntnu_tpu.train.run_train import main
+
+    rc = main([
+        "data.dataset=synthetic", "data.global_batch_size=8",
+        "data.num_workers=2",
+        # crop path: loads 288px synthetic, inner-crops 96->48 pieces -> 144
+        "model.image_size=144", "model.depth=1", "model.hidden_size=32",
+        "model.num_heads=2", "model.attn_impl=xla",
+        "model.compute_dtype=float32",
+        "task.grid_size=3", "task.crop=true",
+        "train.epochs=1", "train.log_every=50", "train.ckpt_every=1000000",
+        f"train.results_dir={tmp_path}/results",
+        "diffusion.sampling_steps=2", "diffusion.sampler_mode=fast",
+    ])
+    assert rc == 0
+
+
 def test_run_eval_synthetic(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)
     from jpdvt_mt_ntnu_tpu.eval.run_eval import main
