@@ -33,6 +33,10 @@ class CheckpointManager:
     def save(self, state: TrainState, metadata: dict | None = None,
              force: bool = False) -> None:
         step = int(state.step)
+        if step in self._mgr.all_steps():
+            # already checkpointed (e.g. the final save right after a
+            # periodic save at the same step) — orbax raises otherwise
+            return
         args = ocp.args.Composite(
             state=ocp.args.StandardSave(state),
         )

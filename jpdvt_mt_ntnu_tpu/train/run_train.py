@@ -133,7 +133,11 @@ def main(argv=None) -> int:
             raise FileNotFoundError(
                 f"train.resume={cfg.train.resume!r} contains no checkpoints "
                 "— refusing to silently restart from scratch")
-        state = ckpt.restore(state)
+        from ..parallel import replicate
+
+        # Restored arrays land on one device; re-place them to match the
+        # mesh the sharded batches use.
+        state = jax.device_put(ckpt.restore(state), replicate(mesh))
         logger.info(f"Resumed from step {int(state.step)}")
 
     loader, val_ds = build_datasets(cfg)

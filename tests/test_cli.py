@@ -73,6 +73,41 @@ def test_run_eval_synthetic(tmp_path, monkeypatch, capsys):
     assert os.path.exists(tmp_path / "logs" / "inference_progress.csv")
 
 
+def test_run_train_resume(tmp_path, monkeypatch):
+    """Full-state CLI resume (reference train_JPDVT.py:239-274)."""
+    monkeypatch.chdir(tmp_path)
+    from jpdvt_mt_ntnu_tpu.train.run_train import main
+
+    common = [
+        "data.dataset=synthetic", "data.global_batch_size=8",
+        "data.num_workers=2", "data.synthetic_n=64",
+        "model.image_size=48", "model.depth=1", "model.hidden_size=32",
+        "model.num_heads=2", "model.attn_impl=xla",
+        "model.compute_dtype=float32",
+        "train.log_every=4", "train.ckpt_every=8",
+        f"train.results_dir={tmp_path}/results",
+        "diffusion.sampling_steps=2", "diffusion.sampler_mode=fast",
+    ]
+    assert main(common + ["train.epochs=1"]) == 0
+    run = os.listdir(tmp_path / "results")[0]
+    ckpt_dir = str(tmp_path / "results" / run / "checkpoints")
+    steps = [int(s) for s in os.listdir(ckpt_dir) if s.isdigit()]
+    assert steps, "no checkpoint saved"
+
+    # resume and train one more epoch: step counter continues
+    assert main(common + ["train.epochs=1",
+                          f"train.resume={ckpt_dir}"]) == 0
+    steps2 = [int(s) for s in os.listdir(ckpt_dir) if s.isdigit()]
+    assert max(steps2) > max(steps)
+
+    # mistyped resume dir fails loudly
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        main(common + ["train.epochs=1",
+                       f"train.resume={tmp_path}/nonexistent"])
+
+
 def test_config_overrides_and_errors():
     from jpdvt_mt_ntnu_tpu.utils.config import Config, apply_overrides
 
