@@ -108,6 +108,42 @@ def test_run_train_resume(tmp_path, monkeypatch):
                        f"train.resume={tmp_path}/nonexistent"])
 
 
+def test_run_eval_texrec_dirs(tmp_path, monkeypatch, capsys):
+    """Directory-loop texrec mode: per-dir CSVs, mask exclusion, summary."""
+    import numpy as np
+    from PIL import Image
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(0)
+    for sub in ("Downsampled1", "Downsampled2"):
+        d = tmp_path / "texrec" / sub
+        d.mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(rng.integers(0, 255, (64, 64, 3),
+                                         dtype=np.uint8)).save(d / f"t{i}.jpg")
+        Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(
+            d / "t9_mask.jpg")  # must be excluded
+
+    from jpdvt_mt_ntnu_tpu.eval.run_eval import main
+
+    rc = main([
+        "eval.texrec_dirs=1", f"data.data_path={tmp_path}/texrec",
+        "model.image_size=48", "model.depth=1", "model.hidden_size=32",
+        "model.num_heads=2", "model.attn_impl=xla",
+        "model.compute_dtype=float32",
+        "diffusion.sampling_steps=2", "diffusion.sampler_mode=fast",
+        "eval.batch_size=4", f"eval.logs_dir={tmp_path}/logs",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "OVERALL RESULTS" in out
+    assert "Downsampled1" in out and "Downsampled2" in out
+    assert "n=3" in out  # mask file excluded
+    csvs = [f for f in os.listdir(tmp_path / "logs") if f.endswith(".csv")]
+    assert len(csvs) == 2
+    assert any("Downsampled1" in c for c in csvs)
+
+
 def test_config_overrides_and_errors():
     from jpdvt_mt_ntnu_tpu.utils.config import Config, apply_overrides
 
