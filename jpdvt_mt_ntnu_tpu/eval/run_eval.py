@@ -125,11 +125,15 @@ def main(argv=None) -> int:
         return 0
 
     h = harness(cfg.eval.logs_dir)
-    if cfg.data.dataset in ("met", "texmet", "synthetic"):
-        report = h.run_dataset(build_dataset(cfg), limit=cfg.eval.limit)
-    else:
+    # data_path set with the default dataset means "evaluate this folder";
+    # named datasets (met/texmet) and explicit synthetic take dataset mode.
+    folder_mode = bool(cfg.data.data_path) and cfg.data.dataset in (
+        "synthetic", "imagenet", "folder")
+    if folder_mode:
         paths = find_images(cfg.data.data_path)
         report = h.run_paths(paths, limit=cfg.eval.limit)
+    else:
+        report = h.run_dataset(build_dataset(cfg), limit=cfg.eval.limit)
     print(f"puzzle_accuracy={report.puzzle_accuracy:.4f} "
           f"patch_accuracy={report.patch_accuracy:.4f} n={report.count} "
           f"({report.puzzles_per_sec:.2f} puzzles/s)")

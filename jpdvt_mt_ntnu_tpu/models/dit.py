@@ -78,6 +78,29 @@ def modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndar
     return x * (1 + scale[:, None]) + shift[:, None]
 
 
+def patchify(x: jnp.ndarray, cfg: DiTConfig) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, N, p*p*C) in (row, col, channel) patch order."""
+    b = x.shape[0]
+    n, p = cfg.tokens_per_side, cfg.patch_size
+    x = x.reshape(b, n, p, n, p, cfg.in_channels)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, cfg.num_tokens, -1)
+
+
+def embed_condition(params, x: jnp.ndarray, cfg: DiTConfig) -> jnp.ndarray:
+    """Precompute the condition-image embedding (patch embed + pos table).
+
+    The result feeds ``DiT.__call__(..., x_is_tokens=True)``; computing it
+    once per solve instead of once per sampler step removes loop-invariant
+    work (profiled at ~10-15% of a solve step)."""
+    dt = cfg.dtype
+    k = params["params"]["x_embedder"]["kernel"].astype(dt)
+    bias = params["params"]["x_embedder"]["bias"].astype(dt)
+    tokens = patchify(x.astype(dt), cfg) @ k + bias
+    pos = jnp.asarray(get_2d_sincos_pos_embed(
+        cfg.hidden_size, cfg.tokens_per_side), dtype=dt)
+    return tokens + pos[None]
+
+
 class Mlp(nn.Module):
     hidden: int
     out: int
@@ -210,25 +233,29 @@ class DiT(nn.Module):
     config: DiTConfig
 
     @nn.compact
-    def __call__(self, x, t, code):
+    def __call__(self, x, t, code, x_is_tokens: bool = False):
         cfg = self.config
-        b = x.shape[0]
-        n_side = cfg.tokens_per_side
-        p = cfg.patch_size
         dt = cfg.dtype
 
-        # Patch embed: exact conv-as-matmul (stride == kernel).
-        x = x.astype(dt).reshape(b, n_side, p, n_side, p, cfg.in_channels)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, cfg.num_tokens, -1)
-        x = nn.Dense(cfg.hidden_size, kernel_init=_xavier, dtype=dt,
-                     param_dtype=cfg.param_dtype, name="x_embedder")(x)
+        if x_is_tokens:
+            # x is a precomputed condition embedding (B, N, hidden) from
+            # :func:`embed_condition` — the conditioning image is constant
+            # across all sampler steps, so hoisting its patch embedding out
+            # of the reverse-diffusion scan removes loop-invariant work.
+            x = x.astype(dt)
+        else:
+            # Patch embed: exact conv-as-matmul (stride == kernel).
+            x = nn.Dense(cfg.hidden_size, kernel_init=_xavier, dtype=dt,
+                         param_dtype=cfg.param_dtype,
+                         name="x_embedder")(patchify(x.astype(dt), cfg))
+            pos = jnp.asarray(get_2d_sincos_pos_embed(
+                cfg.hidden_size, cfg.tokens_per_side), dtype=dt)
+            x = x + pos[None]
 
         code_emb = nn.Dense(cfg.hidden_size, kernel_init=_normal02, dtype=dt,
                             param_dtype=cfg.param_dtype, name="code_in")(code.astype(dt))
-
-        pos = jnp.asarray(
-            get_2d_sincos_pos_embed(cfg.hidden_size, n_side), dtype=dt)
-        x = x + code_emb + pos[None]
+        b = x.shape[0]
+        x = x + code_emb
 
         c = TimestepEmbedder(cfg.hidden_size, dtype=dt,
                              param_dtype=cfg.param_dtype, name="t_embedder")(t)
@@ -249,6 +276,7 @@ class DiT(nn.Module):
                             param_dtype=cfg.param_dtype, name="code_out2")(nn.silu(h))
 
         # Unpatchify (models.py:227-240), NHWC.
+        n_side, p = cfg.tokens_per_side, cfg.patch_size
         img = x.reshape(b, n_side, n_side, p, p, cfg.out_channels)
         img = img.transpose(0, 1, 3, 2, 4, 5).reshape(
             b, cfg.input_size, cfg.input_size, cfg.out_channels)
