@@ -218,7 +218,7 @@ class Diffusion:
     def training_losses(self, model_fn: ModelFn, x_start, t, piece_code, rng,
                         *, block_size: int, patch_size: int,
                         add_mask: bool = False, grid_size: int = 3,
-                        shared_perm: bool = True):
+                        shared_perm: bool = True, _inject: dict | None = None):
         """Jigsaw diffusion training loss (gaussian_diffusion.py:736-843).
 
         x_start: (B, H, W, C) clean images, NHWC, in [-1, 1].
@@ -239,11 +239,16 @@ class Diffusion:
         p = grid * grid
         sub = block_size // patch_size
         k_perm, k_mask, k_nx, k_nc = jax.random.split(rng, 4)
+        inj = _inject or {}  # test hook: inject randomness for golden parity
 
-        indices = jigsaw.random_permutations(k_perm, b, p, shared=shared_perm)
+        indices = inj.get(
+            "indices",
+            jigsaw.random_permutations(k_perm, b, p, shared=shared_perm))
 
         pieces = jigsaw.to_pieces(x_start, grid)
-        if add_mask:
+        if "piece_mask" in inj:
+            piece_mask = inj["piece_mask"]
+        elif add_mask:
             piece_mask = jigsaw.random_piece_masks(k_mask, b, grid)
         else:
             piece_mask = jnp.ones((b, p), dtype=jnp.float32)
@@ -255,8 +260,10 @@ class Diffusion:
         code_shuf = piece_code[indices]  # (B, P, d)
         code_tok = jigsaw.piece_code_to_tokens(code_shuf, grid, sub)
 
-        noise_x = jax.random.normal(k_nx, x_shuf.shape, x_shuf.dtype)
-        noise_c = jax.random.normal(k_nc, code_tok.shape, code_tok.dtype)
+        noise_x = inj.get(
+            "noise_x", jax.random.normal(k_nx, x_shuf.shape, x_shuf.dtype))
+        noise_c = inj.get(
+            "noise_c", jax.random.normal(k_nc, code_tok.shape, code_tok.dtype))
         x_t = self.q_sample(x_shuf, t, noise_x)
         code_t = self.q_sample(code_tok, t, noise_c)
         x_t = x_t * (1 - masks) + masks * x_shuf

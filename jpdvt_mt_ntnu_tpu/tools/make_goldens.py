@@ -119,6 +119,80 @@ def main() -> None:
         x = (pred * np.sqrt(a_prev) + np.sqrt(1 - a_prev) * eps).astype(np.float32)
     rec["toy_ddim25"] = x
 
+    # ---- full training_losses composite with injected randomness ------------
+    # Monkeypatch every randomness source the reference draws internally
+    # (np.random.permutation/randint, random.sample, torch.randn_like) so the
+    # jigsaw shuffle + masking + q-sampling + composite + loss can be
+    # replayed bit-for-bit by the JAX implementation.
+    import random as pyrandom
+    import tempfile
+
+    d_full = create_diffusion("")
+    rng2 = np.random.RandomState(7)
+    B, C, H = 2, 3, 48
+    x_start = rng2.randn(B, C, H, H).astype(np.float32)
+
+    # canonical 3x3 8-dim code, same as the model-side table
+    def sincos_code():
+        coords = np.arange(3, dtype=np.float64)
+        w = np.tile(coords, 3)
+        h = np.repeat(coords, 3)
+
+        def one(dim, pos):
+            omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+            omega = 1.0 / 10000**omega
+            out = np.einsum("m,d->md", pos, omega)
+            return np.concatenate([np.sin(out), np.cos(out)], 1)
+
+        return np.concatenate([one(4, w), one(4, h)], axis=1)
+
+    code = sincos_code().astype(np.float32)  # (9, 8)
+    t_tl = np.array([7, 500], dtype=np.int64)
+    perm = np.array([4, 2, 8, 0, 6, 1, 7, 3, 5])
+    r_values = [1, 2]
+    mask_lists = [[3], [0, 7]]
+    noise_x = rng2.randn(B, C, H, H).astype(np.float32)
+    noise_c = rng2.randn(B, 36, 8).astype(np.float32)  # 9 pieces x 4 tokens
+
+    orig_perm, orig_randint = np.random.permutation, np.random.randint
+    orig_sample, orig_randn_like = pyrandom.sample, torch.randn_like
+    randn_queue = [torch.from_numpy(noise_x), torch.from_numpy(noise_c)]
+    rq = list(randn_queue)
+    rv = list(r_values)
+    ml = list(mask_lists)
+    np.random.permutation = lambda n: perm.copy()
+    np.random.randint = lambda lo, hi=None: rv.pop(0)
+    pyrandom.sample = lambda population, k: ml.pop(0)
+    torch.randn_like = lambda x: rq.pop(0)
+    cwd = os.getcwd()
+    try:
+        os.chdir(tempfile.mkdtemp())  # training_losses plt.imsave side-effect
+
+        def lin_model(x, ts, te):
+            return 0.5 * x, 0.25 * te
+
+        terms = d_full.training_losses(
+            lin_model, torch.from_numpy(x_start), torch.from_numpy(t_tl),
+            torch.from_numpy(code).unsqueeze(0), block_size=16, patch_size=8,
+            add_mask=True, grid_size=3)
+    finally:
+        os.chdir(cwd)
+        np.random.permutation = orig_perm
+        np.random.randint = orig_randint
+        pyrandom.sample = orig_sample
+        torch.randn_like = orig_randn_like
+
+    rec["tl_x_start"] = x_start
+    rec["tl_code"] = code
+    rec["tl_t"] = t_tl
+    rec["tl_perm"] = perm
+    rec["tl_r"] = np.array(r_values)
+    rec["tl_mask_lists"] = np.array([m + [-1] * (9 - len(m))
+                                     for m in mask_lists])
+    rec["tl_noise_x"] = noise_x
+    rec["tl_noise_c"] = noise_c
+    rec["tl_loss"] = terms["loss"].numpy()
+
     path = os.path.join(args.out, "reference_goldens.npz")
     np.savez_compressed(path, **rec)
     print(f"wrote {path} ({os.path.getsize(path)} bytes, {len(rec)} arrays)")

@@ -103,6 +103,38 @@ def test_iterative_mode_runs_and_differs():
     assert not np.allclose(np.asarray(faith), np.asarray(iter_))
 
 
+def test_training_losses_matches_reference_golden(goldens):
+    """Full composite parity: jigsaw shuffle + unpermuted masks + q-sampling
+    + clean-visible composite + dual MSE vs the reference's training_losses,
+    with identical injected randomness (recorded via monkeypatched
+    np.random/torch.randn in the golden script)."""
+    d = create_diffusion("")
+    # reference inputs are NCHW; ours NHWC
+    x = jnp.asarray(goldens["tl_x_start"]).transpose(0, 2, 3, 1)
+    noise_x = jnp.asarray(goldens["tl_noise_x"]).transpose(0, 2, 3, 1)
+    noise_c = jnp.asarray(goldens["tl_noise_c"])
+    code = jnp.asarray(goldens["tl_code"])
+    t = jnp.asarray(goldens["tl_t"], dtype=jnp.int32)
+    b = x.shape[0]
+    perm = jnp.broadcast_to(jnp.asarray(goldens["tl_perm"]), (b, 9))
+    piece_mask = np.ones((b, 9), np.float32)
+    for i, row in enumerate(goldens["tl_mask_lists"]):
+        for idx in row:
+            if idx >= 0:
+                piece_mask[i, idx] = 0.0
+
+    def lin_model(x_t, t_orig, code_t):
+        return 0.5 * x_t, 0.25 * code_t
+
+    out = d.training_losses(
+        lin_model, x, t, code, jax.random.key(0),
+        block_size=16, patch_size=8, add_mask=True, grid_size=3,
+        _inject={"indices": perm, "piece_mask": jnp.asarray(piece_mask),
+                 "noise_x": noise_x, "noise_c": noise_c})
+    np.testing.assert_allclose(np.asarray(out["loss"]), goldens["tl_loss"],
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_training_losses_shapes_and_zero_loss_oracle():
     """An oracle model that returns the targets must give ~zero loss."""
     from jpdvt_mt_ntnu_tpu.utils.pos_embed import grid_code
