@@ -80,6 +80,9 @@ def main(argv=None) -> int:
     argv = [a for a in argv if not a.startswith("eval.texrec_dirs")]
     cfg = apply_overrides(Config(), argv)
     apply_matmul_precision(cfg.model.matmul_precision)
+    from ..parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed(cfg.mesh)
 
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
     model, model_cfg = create_model(cfg.model.name, cfg.model.image_size,

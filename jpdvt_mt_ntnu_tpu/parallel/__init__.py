@@ -1,4 +1,11 @@
-from .mesh import MeshSpec, make_mesh  # noqa: F401
+from .mesh import (  # noqa: F401
+    MeshSpec,
+    initialize_distributed,
+    local_batch_size,
+    make_mesh,
+    maybe_initialize_distributed,
+    process_shard,
+)
 from .sharding import (  # noqa: F401
     batch_sharding,
     param_shardings,

@@ -88,6 +88,42 @@ def initialize_distributed(coordinator_address: str | None = None,
             raise
 
 
+def maybe_initialize_distributed(mesh_cfg=None) -> bool:
+    """Multi-host bring-up for the CLIs, no-op on a single host.
+
+    The reference trainer calls ``dist.init_process_group`` unconditionally
+    (train_JPDVT.py:111) because torchrun always sets the env. JAX runs
+    single-process by default, so this initializes ``jax.distributed`` only
+    when a multi-process run is actually requested: an explicit coordinator
+    in the config, ``mesh.distributed=force``, or a recognizable cluster
+    environment (JAX coordination env, Slurm with >1 task, Open MPI with
+    world size >1). Returns True if initialization was attempted.
+    """
+    import os
+
+    mode = getattr(mesh_cfg, "distributed", "auto") if mesh_cfg else "auto"
+    coordinator = getattr(mesh_cfg, "coordinator", "") if mesh_cfg else ""
+    if mode == "never":
+        return False
+    if coordinator:
+        nproc = getattr(mesh_cfg, "num_processes", 0) or None
+        pid = getattr(mesh_cfg, "process_id", -1)
+        initialize_distributed(coordinator, nproc, pid if pid >= 0 else None)
+        return True
+    env = os.environ
+    detected = (
+        mode == "force"
+        or env.get("JAX_COORDINATOR_ADDRESS")
+        or env.get("COORDINATOR_ADDRESS")
+        or int(env.get("SLURM_NTASKS", "1") or 1) > 1
+        or int(env.get("OMPI_COMM_WORLD_SIZE", "1") or 1) > 1
+    )
+    if not detected:
+        return False
+    initialize_distributed()
+    return True
+
+
 def process_shard(items: list, process_index: int | None = None,
                   process_count: int | None = None) -> list:
     """Strided multi-host work sharding, the TPU equivalent of the

@@ -57,6 +57,21 @@ def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Place a host batch pytree onto the mesh, batch-dim sharded."""
-    return jax.tree.map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, x.ndim)), batch)
+    """Place a host batch pytree onto the mesh, batch-dim sharded.
+
+    Single-process: a plain sharded device_put. Multi-process: each host
+    passes its PROCESS-LOCAL slice of the global batch (the Loader already
+    shards indices by process) and the slices are assembled into one global
+    array — the TPU analogue of DistributedSampler feeding DDP ranks
+    (reference train_JPDVT.py:296-311)."""
+
+    def put(x):
+        sharding = batch_sharding(mesh, x.ndim)
+        if jax.process_count() > 1:
+            import numpy as np
+
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)

@@ -68,6 +68,9 @@ def main(argv=None) -> int:
     ensure_platform()
     cfg = apply_overrides(Config(), sys.argv[1:] if argv is None else argv)
     apply_matmul_precision(cfg.model.matmul_precision)
+    from ..parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed(cfg.mesh)
     is_main = jax.process_index() == 0
 
     exp_dir = auto_experiment_dir(cfg.train.results_dir, cfg.data.dataset,
@@ -149,6 +152,11 @@ def main(argv=None) -> int:
 
     device_data = None
     if cfg.data.device_cache:
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "data.device_cache is a single-host optimization (the whole "
+                "dataset is staged into local HBM); use the streaming loader "
+                "for multi-host runs")
         from concurrent.futures import ThreadPoolExecutor
 
         ds = loader.dataset
@@ -190,22 +198,29 @@ def main(argv=None) -> int:
 
     logger.info(f"Training for {cfg.train.epochs} epochs, "
                 f"{len(loader)} steps/epoch")
-    running_loss, window_start, window_steps = 0.0, time.time(), 0
+    # Losses stay ON DEVICE until the log boundary; the host reads one mean
+    # back per window. A per-step float(...) would block on the device every
+    # step and serialize dispatch (the async dispatch queue is what hides
+    # H2D + scheduling latency). Same for the step counter: train_step
+    # increments by exactly 1, so the host mirrors it without a sync.
+    step = int(state.step)
+    window_losses: list = []
+    window_start = time.time()
     for epoch in range(cfg.train.epochs):
         for batch in epoch_batches(epoch):
             state, metrics = train_step(state, batch, rng)
-            running_loss += float(metrics["loss"])
-            window_steps += 1
-            step = int(state.step)
+            window_losses.append(metrics["loss"])
+            step += 1
             if step % cfg.train.log_every == 0:
+                avg = float(jnp.stack(window_losses).mean())  # sync point
                 dt = time.time() - window_start
-                sps = window_steps / dt if dt > 0 else 0.0
-                avg = running_loss / max(1, window_steps)
+                sps = len(window_losses) / dt if dt > 0 else 0.0
                 logger.info(f"(step={step:08d}) Train Loss: {avg:.4f}, "
                             f"Train Steps/Sec: {sps:.2f}")
                 writer.log({"train_loss": avg, "steps_per_sec": sps,
                             "epoch": epoch}, step)
-                running_loss, window_start, window_steps = 0.0, time.time(), 0
+                window_losses.clear()
+                window_start = time.time()
             if step % cfg.train.ckpt_every == 0:
                 # Orbax save and the validation solve are collective over
                 # globally-sharded state — every host participates; only

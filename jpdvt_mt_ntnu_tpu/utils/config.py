@@ -109,6 +109,14 @@ class EvalConfig:
 class MeshConfig:
     data: int = -1
     model: int = 1
+    # Multi-host bring-up (the reference's unconditional
+    # dist.init_process_group, train_JPDVT.py:111). "auto" initializes
+    # jax.distributed when a cluster is detectable (explicit coordinator
+    # below, TPU pod metadata, Slurm/OMPI env); "never"/"force" override.
+    distributed: str = "auto"         # auto | never | force
+    coordinator: str = ""             # host:port for manual clusters
+    num_processes: int = 0
+    process_id: int = -1
 
 
 @dataclasses.dataclass
