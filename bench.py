@@ -58,15 +58,33 @@ def throughput(solver, params, x, iters: int = 3) -> float:
     return x.shape[0] / dt
 
 
+def throughput_back_to_back(solver, params, x, iters: int = 20) -> float:
+    """Steady-state throughput: back-to-back async solves, one final sync.
+
+    For sub-100ms programs the per-call host round trip (remote-tunnel
+    dispatch + D2H of the metrics) dominates `throughput()`; this measures
+    the serving-relevant pipelined rate instead.
+    """
+    r = solver._solve_codes(params, x)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = solver._solve_codes(params, x)
+    jax.block_until_ready(r)
+    return x.shape[0] / ((time.perf_counter() - t0) / iters)
+
+
 def main():
     import sys
 
     n_chips = jax.local_device_count()
     log(f"backend={jax.default_backend()} chips={n_chips}")
 
-    # Batch 32 is the measured optimum on v5e (PERF.md); pass --full to
-    # re-sweep (each config is a fresh, slow remote compile).
-    batches = (32, 64, 128) if "--full" in sys.argv else (32,)
+    # Batch 128 with the solver's auto micro-batching (lax.map over chunks
+    # of 32 — the measured per-program optimum on v5e) is the round-2
+    # headline config; pass --full to re-sweep (each config is a fresh,
+    # slow remote compile).
+    batches = (32, 64, 128) if "--full" in sys.argv else (128,)
     best, best_batch = 0.0, 0
     for batch in batches:
         solver, params, x = build("faithful", batch)
@@ -77,9 +95,11 @@ def main():
         del solver, params, x
 
     # Secondary: the mathematically-equivalent single-step fast path.
+    # Its program is ~27 ms — measure pipelined (back-to-back) so the
+    # remote-tunnel per-call round trip doesn't dominate.
     solver, params, x = build("fast", 128)
-    fast_tp = throughput(solver, params, x)
-    log(f"fast-equivalent batch=128: {fast_tp:.1f} puzzles/s")
+    fast_tp = throughput_back_to_back(solver, params, x)
+    log(f"fast-equivalent batch=128 (pipelined): {fast_tp:.1f} puzzles/s")
 
     value = best / n_chips
     print(json.dumps({

@@ -57,7 +57,8 @@ class PuzzleSolver:
     def __init__(self, model, model_config, diffusion: Diffusion, *,
                  grid_size: int = 3, mode: str = "faithful",
                  assignment_method: str = "greedy", seed: int = 0,
-                 donate_condition: bool = False, mesh=None):
+                 donate_condition: bool = False, mesh=None,
+                 microbatch: Optional[int] = None):
         cfg = model_config
         self.model = model
         self.cfg = cfg
@@ -79,6 +80,14 @@ class PuzzleSolver:
         # XLA partitions the whole solve (the DataParallel/DDP-inference
         # replacement, SURVEY.md §2.2).
         self.mesh = mesh
+        # Per-device micro-batch cap. XLA's per-step solve program is most
+        # efficient around batch 32 on v5e; above that, fusion tiling
+        # degrades and per-image cost rises ~50% by batch 128 (PERF.md r2:
+        # 15.2 -> 22.9 puzzles/s restored by chunking). Large batches are
+        # split into micro-batches run sequentially by one lax.map — same
+        # compiled step program, full throughput at any batch size.
+        # None = auto (32 per data shard); 0 = never chunk.
+        self.microbatch = microbatch
         donate = (1,) if donate_condition else ()
         self._solve_codes = jax.jit(self._solve_codes_impl, donate_argnums=donate)
         self._solve_and_score = jax.jit(self._solve_and_score_impl)
@@ -97,7 +106,29 @@ class PuzzleSolver:
             return self.model.apply(params, condition, t_orig, code)
         return fn
 
+    def _resolve_microbatch(self, b: int) -> int:
+        """Effective micro-batch for a batch of ``b`` (0 = don't chunk)."""
+        mb = self.microbatch
+        if mb is None:
+            # Chunking helps the single-step fast mode too (measured
+            # back-to-back at B=128: 4731 vs 3709 puzzles/s).
+            mb = 32 * (self.mesh.shape["data"] if self.mesh is not None else 1)
+        if not mb or b <= mb or b % mb:
+            return 0
+        return mb
+
     def _solve_codes_impl(self, params, x_scrambled):
+        b = x_scrambled.shape[0]
+        mb = self._resolve_microbatch(b)
+        if mb:
+            xs = x_scrambled.reshape(b // mb, mb, *x_scrambled.shape[1:])
+            pred, dist = jax.lax.map(
+                lambda xc: self._solve_codes_chunk(params, xc), xs)
+            return (pred.reshape(b, *pred.shape[2:]),
+                    dist.reshape(b, *dist.shape[2:]))
+        return self._solve_codes_chunk(params, x_scrambled)
+
+    def _solve_codes_chunk(self, params, x_scrambled):
         from ..models.dit import DiT, embed_condition
 
         b = x_scrambled.shape[0]

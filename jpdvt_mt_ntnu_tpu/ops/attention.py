@@ -136,11 +136,17 @@ def _attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
 
 
 def default_impl() -> str:
-    """Measured on TPU v5e (250-step solve, batch 32): the transpose-free
-    XLA path runs the DiT step in 5.75 ms vs 9.35 ms for the per-head
-    Pallas kernel — at 144 tokens the MXU-tiled XLA batched matmuls beat
-    many tiny kernel launches. Default to XLA everywhere; the Pallas
-    kernels stay selectable (attn_impl='pallas') and tested.
+    """Measured on TPU v5e, whole-solve wall clock (PERF.md round 2):
+
+    - 144 tokens (192px, B=32): XLA 22.6 puzzles/s vs Pallas 13.9
+    - 324 tokens (288px, B=16): XLA 7.3 puzzles/s vs Pallas 6.1
+
+    At JPDVT sequence lengths the MXU-tiled batched matmuls XLA emits beat
+    per-(batch, head-group) kernel launches at every measured geometry, so
+    XLA is the default everywhere. The Pallas kernels stay selectable
+    (attn_impl='pallas') and tested; they hold whole score rows in VMEM,
+    which caps them at ~1.3k tokens — a flash-tiled rewrite is the
+    prerequisite for Pallas to win any geometry this model family uses.
     """
     return "xla"
 

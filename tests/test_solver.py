@@ -129,3 +129,30 @@ def test_solver_with_real_dit_runs():
     res = solver.evaluate(params, x, jax.random.key(2))
     for row in res.pred:
         assert sorted(row.tolist()) == list(range(9))
+
+
+def test_microbatched_solve_identical():
+    """lax.map micro-batching (the batch-128 cliff fix, PERF.md r2) must be
+    bit-identical to the unchunked solve."""
+    _, cfg = create_model("JPDVT", input_size=48, depth=1, hidden_size=32,
+                          num_heads=2, attn_impl="xla")
+    model = _OracleModel(cfg, 3)
+    diff = create_diffusion("6")
+    full = PuzzleSolver(model, cfg, diff, grid_size=3, microbatch=0)
+    chunked = PuzzleSolver(model, cfg, diff, grid_size=3, microbatch=2)
+    x = _slot_images(6, 48, 3)
+    scr, _ = full.scramble(x, jax.random.key(3))
+    assert chunked._resolve_microbatch(6) == 2
+    assert full._resolve_microbatch(6) == 0
+    p_full, d_full = full._solve_codes(None, scr)
+    p_chunk, d_chunk = chunked._solve_codes(None, scr)
+    np.testing.assert_array_equal(np.asarray(p_full), np.asarray(p_chunk))
+    np.testing.assert_allclose(np.asarray(d_full), np.asarray(d_chunk),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_microbatch_auto_rules():
+    solver, _ = _make()
+    assert solver._resolve_microbatch(32) == 0      # not larger than cap
+    assert solver._resolve_microbatch(128) == 32    # chunks of 32
+    assert solver._resolve_microbatch(100) == 0     # not divisible -> off
