@@ -67,7 +67,8 @@ def build_dataset(cfg: Config):
     if d.dataset == "texmet":
         return TEXMETDataset(d.data_path, "test", cfg.model.image_size)
     if d.dataset == "synthetic":
-        return SyntheticPuzzles(cfg.model.image_size, n=1024, seed=cfg.eval.seed)
+        return SyntheticPuzzles(cfg.model.image_size, n=1024, seed=cfg.eval.seed,
+                                position_cues=d.synthetic_position_cues)
     return ImageFolderDataset(d.data_path, cfg.model.image_size)
 
 

@@ -42,6 +42,11 @@ class ServiceConfig:
     sampler_mode: str = "faithful"
     seed: int = 0
     compute_dtype: str = "bfloat16"
+    # Request micro-batching: >0 enables a MicroBatcher that stacks
+    # concurrent solve requests arriving within this window into ONE padded
+    # device batch (see serve/plugins.py). 0 = one program per request.
+    batch_window_ms: float = 0.0
+    batch_max: int = 8
     # scaled-down overrides for tests
     depth: int = 0
     hidden_size: int = 0
@@ -79,6 +84,7 @@ class PuzzleService:
                                    grid_size=cfg.grid_size,
                                    mode=cfg.sampler_mode, seed=cfg.seed)
         self._rng = np.random.default_rng(cfg.seed)
+        self._batchers: dict = {}
 
     def _load_params(self):
         cfg, m = self.cfg, self.model_cfg
@@ -103,14 +109,18 @@ class PuzzleService:
     # ------------------------------------------------------------ endpoints
 
     def models(self) -> list[dict]:
-        """GET /api/models (api/app.py:172-186)."""
+        """GET /api/models: built-ins + every registered plugin
+        (api/app.py:172-186; the plugin rows are the FCViT-family analog,
+        api/app.py:453-552)."""
+        from .plugins import list_solvers
+
         return [
             {"id": "default", "name": self.cfg.model_name,
              "description": f"{self.cfg.grid_size}x{self.cfg.grid_size} "
                             "Grid Jigsaw Puzzle Solver"},
             {"id": "fast", "name": f"{self.cfg.model_name} (fast)",
              "description": "Mathematically-equivalent single-step solver"},
-        ]
+        ] + [p.info.to_dict() for p in list_solvers()]
 
     def _prep(self, img: Image.Image) -> np.ndarray:
         img = T.center_crop_arr(img, self.cfg.image_size)
@@ -138,6 +148,12 @@ class PuzzleService:
         }
 
     def _solve_scrambled(self, scrambled: np.ndarray, mode_id: str):
+        from .plugins import MicroBatcher, get_solver
+
+        plugin = get_solver(mode_id)
+        if plugin is not None:
+            return plugin.solve_batch(np.asarray(scrambled)[None])[0], self.solver
+
         solver = self.solver
         if mode_id == "fast" and solver.mode != "fast":
             # fast mode produces identical outputs; reuse the same solver
@@ -148,7 +164,20 @@ class PuzzleService:
                     grid_size=self.cfg.grid_size, mode="fast",
                     seed=self.cfg.seed)
             solver = self._fast_solver
-        pred = solver.solve(self.params, jnp.asarray(scrambled)[None])[0]
+        elif mode_id not in ("default", "fast"):
+            raise ValueError(f"unknown model_id {mode_id!r}; "
+                             f"see GET /api/models")
+        if self.cfg.batch_window_ms > 0:
+            key = solver.mode
+            if key not in self._batchers:
+                self._batchers[key] = MicroBatcher(
+                    lambda xs, s=solver: s.solve(self.params,
+                                                 jnp.asarray(xs)),
+                    max_batch=self.cfg.batch_max,
+                    window_ms=self.cfg.batch_window_ms)
+            pred = self._batchers[key].solve(scrambled)
+        else:
+            pred = solver.solve(self.params, jnp.asarray(scrambled)[None])[0]
         return pred, solver
 
     def solve_puzzle(self, image_bytes: bytes, model_id: str = "default") -> dict:

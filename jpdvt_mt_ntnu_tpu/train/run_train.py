@@ -46,8 +46,10 @@ def build_datasets(cfg: Config):
         val = TEXMETDataset(d.data_path, "val", size)
     elif d.dataset == "synthetic":
         train = SyntheticPuzzles(288 if cfg.task.crop else size,
-                                 n=d.synthetic_n)
-        val = SyntheticPuzzles(288 if cfg.task.crop else size, n=128, seed=7)
+                                 n=d.synthetic_n,
+                                 position_cues=d.synthetic_position_cues)
+        val = SyntheticPuzzles(288 if cfg.task.crop else size, n=128, seed=7,
+                               position_cues=d.synthetic_position_cues)
     else:
         # ImageNet-style folder; reference always center-crops to 288 and
         # (with --crop) cuts 96->64 pieces to get 192 (train_JPDVT.py:289-294,

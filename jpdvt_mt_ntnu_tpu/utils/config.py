@@ -74,6 +74,10 @@ class DataConfig:
     # always label-consistent).
     device_cache_augment: bool = False
     synthetic_n: int = 2048           # synthetic dataset size
+    # False = pure-texture synthetic puzzles (the HARD task: position must
+    # be inferred from texture continuity alone, like the real datasets);
+    # True adds faint luminance ramps for fast learnability demos.
+    synthetic_position_cues: bool = True
 
 
 @dataclasses.dataclass

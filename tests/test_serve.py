@@ -113,3 +113,144 @@ def test_multipart_parser():
            f"hello\r\n--{b}--\r\n").encode()
     fields = _parse_multipart(raw, f"multipart/form-data; boundary={b}")
     assert fields["x"] == b"hello"
+
+
+# ---------------------------------------------------------------------------
+# Plugin registry + micro-batching (reference api/app.py:453-552 FCViT slot)
+# ---------------------------------------------------------------------------
+
+
+def test_plugin_registered_and_served(service):
+    from jpdvt_mt_ntnu_tpu.serve import plugins as P
+
+    solver = P.EdgeMatchSolver(grid_size=3)
+    P.register_solver(solver)
+    try:
+        models = service.models()
+        assert any(m["id"] == "edgematch" for m in models)
+        created = service.create_puzzle(_png_bytes(), seed=11)
+        out = service.solve(created["puzzle_image"], created["indices"],
+                            model_id="edgematch")
+        assert out["success"] is True
+        assert sorted(out["predicted_order"]) == list(range(9))
+    finally:
+        P.unregister_solver("edgematch")
+    assert not any(m["id"] == "edgematch" for m in service.models())
+
+
+def test_plugin_reserved_ids_rejected():
+    from jpdvt_mt_ntnu_tpu.serve import plugins as P
+
+    bad = P.EdgeMatchSolver(3)
+    bad.info = P.SolverInfo("default", "x", "y")
+    with pytest.raises(ValueError):
+        P.register_solver(bad)
+
+
+def test_unknown_model_id_errors(service):
+    created = service.create_puzzle(_png_bytes(), seed=2)
+    h = _Handler(service)
+    payload = json.dumps({"image_data": created["puzzle_image"],
+                          "model_id": "no-such-model"}).encode()
+    status, _, body = h.handle("POST", "/api/solve", {}, payload)
+    assert status == 500 and b"no-such-model" in body
+
+
+def test_edgematch_solves_smooth_puzzle():
+    """On smooth low-frequency images, edge continuity identifies the true
+    arrangement — the plugin must actually solve, not just run."""
+    import jax
+    import jax.numpy as jnp
+
+    from jpdvt_mt_ntnu_tpu.data.datasets import SyntheticPuzzles
+    from jpdvt_mt_ntnu_tpu.ops import jigsaw
+    from jpdvt_mt_ntnu_tpu.serve.plugins import EdgeMatchSolver
+
+    ds = SyntheticPuzzles(48, n=8, seed=5, position_cues=False)
+    x = jnp.asarray(np.stack([ds[i] for i in range(8)]))
+    indices = jigsaw.random_permutations(jax.random.key(0), 8, 9)
+    scrambled = jigsaw.scramble(x, indices, 3)
+    pred = EdgeMatchSolver(3).solve_batch(np.asarray(scrambled))
+    patch_acc = (pred == np.asarray(indices)).mean()
+    assert patch_acc > 0.8, patch_acc
+
+
+def test_microbatcher_batches_concurrent_requests():
+    import threading
+
+    from jpdvt_mt_ntnu_tpu.serve.plugins import MicroBatcher
+
+    calls = []
+
+    def solve_fn(xs):
+        calls.append(xs.shape[0])
+        return xs[:, 0, 0, :9].argsort(-1)  # deterministic per-row function
+
+    mb = MicroBatcher(solve_fn, max_batch=4, window_ms=200.0)
+    rng = np.random.default_rng(0)
+    imgs = rng.normal(size=(4, 12, 12, 16)).astype(np.float32)
+    results = [None] * 4
+
+    def call(i):
+        results[i] = mb.solve(imgs[i])
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # every caller got ITS row's answer
+    for i in range(4):
+        np.testing.assert_array_equal(results[i],
+                                      imgs[i, 0, 0, :9].argsort(-1))
+    # requests were coalesced: far fewer programs than requests, all padded
+    # to the single compiled shape
+    assert all(c == 4 for c in calls)
+    assert mb.items_run == 4 and mb.batches_run <= 2
+    mb.shutdown()
+
+
+def test_microbatcher_propagates_errors():
+    from jpdvt_mt_ntnu_tpu.serve.plugins import MicroBatcher
+
+    def solve_fn(xs):
+        raise RuntimeError("device on fire")
+
+    mb = MicroBatcher(solve_fn, max_batch=2, window_ms=1.0)
+    with pytest.raises(RuntimeError, match="device on fire"):
+        mb.solve(np.zeros((4, 4, 3), np.float32))
+    mb.shutdown()
+
+
+def test_service_batched_solves_match_unbatched():
+    """End-to-end: a batching service returns the same predictions as the
+    unbatched one for concurrent requests."""
+    import threading
+
+    svc = PuzzleService(ServiceConfig(
+        image_size=48, depth=1, hidden_size=32, num_heads=2,
+        sampling_steps=2, sampler_mode="fast", compute_dtype="float32",
+        batch_window_ms=100.0, batch_max=4))
+    ref = PuzzleService(ServiceConfig(
+        image_size=48, depth=1, hidden_size=32, num_heads=2,
+        sampling_steps=2, sampler_mode="fast", compute_dtype="float32"))
+    # identical random init => identical params
+    created = [svc.create_puzzle(_png_bytes(48 + s), seed=s)
+               for s in range(4)]
+    outs = [None] * 4
+
+    def call(i):
+        outs[i] = svc.solve(created[i]["puzzle_image"],
+                            created[i]["indices"])
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(4):
+        expect = ref.solve(created[i]["puzzle_image"], created[i]["indices"])
+        assert outs[i]["predicted_order"] == expect["predicted_order"]
+    key = svc.solver.mode
+    assert svc._batchers[key].items_run == 4
+    assert svc._batchers[key].batches_run <= 2
