@@ -26,6 +26,11 @@ from PIL import Image
 
 from . import transforms as T
 
+# Real MET scans exceed PIL's decompression-bomb ceiling (~179M pixels); the
+# reference disables the limit globally (datasets.py:16) and so do we —
+# without this, the first oversized archive image kills a training run.
+Image.MAX_IMAGE_PIXELS = None
+
 _IMG_EXTS = (".jpg", ".jpeg", ".png")
 
 
@@ -70,6 +75,16 @@ class METDataset(_Base):
     Output: (288, 288, 3) in [-1, 1] — a 3x3 collage of 96px random crops
     taken from 100px regions separated by 48px gaps, simulating eroded
     piece borders.
+
+    Directory contract (verified against reference datasets.py:25-32): the
+    archive root holds image subdirectories and exactly THREE of them are
+    used. The reference indexes raw ``os.listdir`` order — which is
+    filesystem-dependent and therefore irreproducible across hosts; we take
+    the three lexicographically-first subdirs so every host builds the same
+    file list (and hence the same seed-42 train/val/test split). The
+    reference's ``.remove``-while-iterating extension filter bug and its
+    substring ``'.jpg' in name`` match are also not replicated: files must
+    END in .jpg.
     """
 
     def __init__(self, image_dir: str, split: str, seed: int = 42):
