@@ -15,7 +15,9 @@ XLA reduces gradients over ICI.
 
 from __future__ import annotations
 
+import signal
 import sys
+import threading
 import time
 
 import jax
@@ -64,6 +66,40 @@ def build_datasets(cfg: Config):
     return loader, val
 
 
+# Exit code signalling "preempted after a clean checkpoint" — auto-resume
+# wrappers (scripts/train_autoresume.sh) relaunch on it.
+PREEMPTED_EXIT = 42
+
+
+class _PreemptionGuard:
+    """Elastic-training upgrade (no reference equivalent): SIGTERM/SIGINT
+    request a CLEAN stop — the loop finishes the in-flight step, saves a
+    full checkpoint, and exits with PREEMPTED_EXIT so a wrapper can
+    relaunch with ``train.resume``. Handlers are restored on exit so
+    library callers (tests) keep their signal state."""
+
+    def __init__(self, enabled: bool = True):
+        self.flag = threading.Event()
+        self._prev: dict = {}
+        self._enabled = enabled and threading.current_thread() is threading.main_thread()
+
+    def __enter__(self):
+        if self._enabled:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                self._prev[sig] = signal.signal(
+                    sig, lambda *_: self.flag.set())
+        return self
+
+    def __exit__(self, *exc):
+        for sig, prev in self._prev.items():
+            signal.signal(sig, prev)
+        return False
+
+    @property
+    def preempted(self) -> bool:
+        return self.flag.is_set()
+
+
 def main(argv=None) -> int:
     from ..utils.platform import apply_matmul_precision, ensure_platform
 
@@ -75,9 +111,16 @@ def main(argv=None) -> int:
     maybe_initialize_distributed(cfg.mesh)
     is_main = jax.process_index() == 0
 
-    exp_dir = auto_experiment_dir(cfg.train.results_dir, cfg.data.dataset,
-                                  cfg.model.name, crop=cfg.task.crop,
-                                  with_mask=cfg.task.add_mask) if is_main else None
+    if cfg.train.exp_dir:
+        import os
+
+        exp_dir = cfg.train.exp_dir if is_main else None
+        if is_main:
+            os.makedirs(exp_dir, exist_ok=True)
+    else:
+        exp_dir = auto_experiment_dir(
+            cfg.train.results_dir, cfg.data.dataset, cfg.model.name,
+            crop=cfg.task.crop, with_mask=cfg.task.add_mask) if is_main else None
     if jax.process_count() > 1:
         # Every host must agree on the checkpoint directory (Orbax saves of
         # globally-sharded state are collective); broadcast host 0's pick.
@@ -208,8 +251,26 @@ def main(argv=None) -> int:
     step = int(state.step)
     window_losses: list = []
     window_start = time.time()
+    guard = _PreemptionGuard()
+    guard.__enter__()
     for epoch in range(cfg.train.epochs):
+        if guard.preempted:
+            break
         for batch in epoch_batches(epoch):
+            if guard.preempted:
+                # Clean preemption (SIGTERM/SIGINT): checkpoint the full
+                # state and exit with the sentinel code so auto-resume
+                # wrappers relaunch. On multi-host clusters the scheduler
+                # delivers the signal to every host, so the collective
+                # save below is safe.
+                guard.__exit__()
+                ckpt.save(state, metadata={"config": cfg.to_dict(),
+                                           "preempted": True}
+                          if is_main else None, force=True)
+                ckpt.wait()
+                logger.info(f"Preempted: checkpoint saved at step {step}")
+                writer.finish(summary={"preempted_at_step": step})
+                return PREEMPTED_EXIT
             state, metrics = train_step(state, batch, rng)
             window_losses.append(metrics["loss"])
             step += 1
@@ -234,6 +295,7 @@ def main(argv=None) -> int:
                 val = validator(state.ema_params, val_ds)
                 logger.info(f"Validation: {val}")
                 writer.log(val, step)
+    guard.__exit__()
     ckpt.save(state,
               metadata={"config": cfg.to_dict(), "final": True}
               if is_main else None, force=True)

@@ -92,6 +92,9 @@ class TrainConfig:
     ckpt_every: int = 50_000
     global_seed: int = 0
     results_dir: str = "results"
+    # Explicit experiment dir (skips the auto-numbered name) — lets
+    # auto-resume wrappers address the checkpoint dir deterministically.
+    exp_dir: str = ""
     resume: str = ""                  # ckpt dir to resume from
     wandb: bool = False
 
