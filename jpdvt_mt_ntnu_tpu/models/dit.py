@@ -143,6 +143,10 @@ class Attention(nn.Module):
             o = fused_qkv_attention(qkv, self.num_heads)
         elif impl == "interpret":
             o = fused_qkv_attention(qkv, self.num_heads, True)
+        elif impl == "flash":
+            from ..ops.flash_attention import fused_qkv_flash_attention
+
+            o = fused_qkv_flash_attention(qkv, self.num_heads)
         else:
             o = fused_qkv_attention_xla(qkv, self.num_heads)
         return nn.Dense(self.hidden_size, kernel_init=_xavier, dtype=self.dtype,

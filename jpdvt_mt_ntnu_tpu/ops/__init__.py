@@ -1,1 +1,1 @@
-from . import assignment, attention, jigsaw  # noqa: F401
+from . import assignment, attention, flash_attention, jigsaw  # noqa: F401

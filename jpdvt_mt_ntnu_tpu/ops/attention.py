@@ -322,6 +322,10 @@ def multihead_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     impl: "pallas" | "xla" | "interpret" | None (auto by backend).
     """
     impl = impl or default_impl()
+    if impl == "flash":
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v)
     if impl == "pallas":
         return _attention_pallas(q, k, v)
     if impl == "interpret":
