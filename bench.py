@@ -77,6 +77,9 @@ def throughput_back_to_back(solver, params, x, iters: int = 20) -> float:
 def main():
     import sys
 
+    from jpdvt_mt_ntnu_tpu.utils.platform import init_compilation_cache
+
+    init_compilation_cache()
     n_chips = jax.local_device_count()
     log(f"backend={jax.default_backend()} chips={n_chips}")
 

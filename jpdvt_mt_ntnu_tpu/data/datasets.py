@@ -225,13 +225,20 @@ class SyntheticPuzzles:
         rng = np.random.default_rng(self.seed * 1000003 + i)
         s = self.image_size
         yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
-        img = np.zeros((s, s, 3), dtype=np.float32)
-        for _ in range(6):
-            fx, fy = rng.uniform(0.5, 6.0, 2)
-            ph = rng.uniform(0, 2 * np.pi, 3)
-            amp = rng.uniform(0.2, 1.0, 3)
-            wave = np.sin(2 * np.pi * (fx * xx + fy * yy)[..., None] + ph) * amp
-            img += wave.astype(np.float32)
+        # Draw per-wave (preserves the historical RNG stream), then compute
+        # all 6 waves vectorized in float32 — the naive per-wave loop
+        # upcast to float64 inside sin and cost ~0.18 s/item, which
+        # dominated device-cache staging (~12 min for 4096 images).
+        f = np.empty((6, 2), np.float32)
+        ph = np.empty((6, 1, 1, 3), np.float32)
+        amp = np.empty((6, 1, 1, 3), np.float32)
+        for w in range(6):
+            f[w] = rng.uniform(0.5, 6.0, 2)
+            ph[w, 0, 0] = rng.uniform(0, 2 * np.pi, 3)
+            amp[w, 0, 0] = rng.uniform(0.2, 1.0, 3)
+        base = f[:, 0, None, None] * xx + f[:, 1, None, None] * yy  # (6,s,s)
+        img = np.sum(np.sin(2 * np.float32(np.pi) * base[..., None] + ph)
+                     * amp, axis=0)
         img /= np.abs(img).max() + 1e-6
         if self.position_cues:
             img *= 0.6

@@ -73,9 +73,11 @@ def build_dataset(cfg: Config):
 
 
 def main(argv=None) -> int:
-    from ..utils.platform import apply_matmul_precision, ensure_platform
+    from ..utils.platform import (apply_matmul_precision, ensure_platform,
+                                  init_compilation_cache)
 
     ensure_platform()
+    init_compilation_cache()
     argv = sys.argv[1:] if argv is None else argv
     texrec = any(a.startswith("eval.texrec_dirs") for a in argv)
     argv = [a for a in argv if not a.startswith("eval.texrec_dirs")]

@@ -30,9 +30,11 @@ _DEFAULT_LIMITS = {"met": 2000, "imagenet": 50000}
 
 
 def main(argv=None) -> int:
-    from ..utils.platform import apply_matmul_precision, ensure_platform
+    from ..utils.platform import (apply_matmul_precision, ensure_platform,
+                                  init_compilation_cache)
 
     ensure_platform()
+    init_compilation_cache()
     argv = sys.argv[1:] if argv is None else argv
     crop = any(a.startswith("sample.crop") for a in argv)
     argv = [a for a in argv if not a.startswith("sample.crop")]

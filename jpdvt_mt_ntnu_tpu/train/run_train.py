@@ -101,9 +101,11 @@ class _PreemptionGuard:
 
 
 def main(argv=None) -> int:
-    from ..utils.platform import apply_matmul_precision, ensure_platform
+    from ..utils.platform import (apply_matmul_precision, ensure_platform,
+                                  init_compilation_cache)
 
     ensure_platform()
+    init_compilation_cache()
     cfg = apply_overrides(Config(), sys.argv[1:] if argv is None else argv)
     apply_matmul_precision(cfg.model.matmul_precision)
     from ..parallel import maybe_initialize_distributed
@@ -258,19 +260,7 @@ def main(argv=None) -> int:
             break
         for batch in epoch_batches(epoch):
             if guard.preempted:
-                # Clean preemption (SIGTERM/SIGINT): checkpoint the full
-                # state and exit with the sentinel code so auto-resume
-                # wrappers relaunch. On multi-host clusters the scheduler
-                # delivers the signal to every host, so the collective
-                # save below is safe.
-                guard.__exit__()
-                ckpt.save(state, metadata={"config": cfg.to_dict(),
-                                           "preempted": True}
-                          if is_main else None, force=True)
-                ckpt.wait()
-                logger.info(f"Preempted: checkpoint saved at step {step}")
-                writer.finish(summary={"preempted_at_step": step})
-                return PREEMPTED_EXIT
+                break
             state, metrics = train_step(state, batch, rng)
             window_losses.append(metrics["loss"])
             step += 1
@@ -292,13 +282,27 @@ def main(argv=None) -> int:
                 ckpt.save(state, metadata={"config": cfg.to_dict(),
                                            "step": step} if is_main else None)
                 logger.info(f"Saved checkpoint at step {step}")
+            val_every = cfg.train.val_every or cfg.train.ckpt_every
+            if step % val_every == 0:
                 val = validator(state.ema_params, val_ds)
                 logger.info(f"Validation: {val}")
                 writer.log(val, step)
+                window_start = time.time()  # don't bill val to steps/s
+    # One exit path for BOTH clean completion and preemption: the signal can
+    # land anywhere (including between epochs), so the sentinel decision is
+    # made here, after the loops unwind. On multi-host clusters the scheduler
+    # delivers the signal to every host, so the collective save is safe.
     guard.__exit__()
+    preempted = guard.preempted
     ckpt.save(state,
-              metadata={"config": cfg.to_dict(), "final": True}
+              metadata={"config": cfg.to_dict(),
+                        "preempted" if preempted else "final": True}
               if is_main else None, force=True)
+    if preempted:
+        ckpt.wait()
+        logger.info(f"Preempted: checkpoint saved at step {step}")
+        writer.finish(summary={"preempted_at_step": step})
+        return PREEMPTED_EXIT
     val = validator(state.ema_params, val_ds)
     logger.info(f"Final validation: {val}")
     writer.finish(summary=val)

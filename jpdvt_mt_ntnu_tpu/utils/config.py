@@ -90,6 +90,10 @@ class TrainConfig:
     t_bias: float = 0.0               # >0 skews timestep draws toward high t
     log_every: int = 100
     ckpt_every: int = 50_000
+    # Validate (full-sampler solve of 100 val images, ~30 s) more often
+    # than checkpointing: a full-state save costs minutes of D2H over a
+    # remote-TPU tunnel, the solve does not. 0 = validate at ckpt_every.
+    val_every: int = 0
     global_seed: int = 0
     results_dir: str = "results"
     # Explicit experiment dir (skips the auto-numbered name) — lets

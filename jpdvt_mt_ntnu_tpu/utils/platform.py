@@ -21,6 +21,27 @@ def apply_matmul_precision(precision: str | None) -> None:
     jax.config.update("jax_default_matmul_precision", precision)
 
 
+def init_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache for every CLI.
+
+    Remote TPU compiles in this deployment are high-variance (2-12 min);
+    caching compiled executables on disk makes re-runs of the same program
+    (bench sweeps, resumed training, repeated evals) start in seconds.
+    Override the location with $JPDVT_COMPILE_CACHE; best-effort — backends
+    that cannot serialize executables simply skip the cache.
+    """
+    import jax
+
+    path = path or os.environ.get(
+        "JPDVT_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "jpdvt_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def ensure_platform() -> None:
     env = os.environ.get("JAX_PLATFORMS")
     if not env:

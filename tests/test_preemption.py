@@ -34,7 +34,9 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
 
     # wait until it is actually stepping (first logged window)
     metrics = exp / "metrics.jsonl"
-    deadline = time.time() + 300
+    # Generous: this covers subprocess interpreter + jit bring-up on a
+    # loaded single-core CI box, not the steady-state step rate.
+    deadline = time.time() + 600
     while time.time() < deadline:
         if metrics.exists() and "train_loss" in metrics.read_text():
             break
