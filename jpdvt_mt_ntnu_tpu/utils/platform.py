@@ -29,9 +29,17 @@ def init_compilation_cache(path: str | None = None) -> None:
     (bench sweeps, resumed training, repeated evals) start in seconds.
     Override the location with $JPDVT_COMPILE_CACHE; best-effort — backends
     that cannot serialize executables simply skip the cache.
+
+    Deliberately NOT enabled for the CPU backend: its compiles are cheap,
+    and reloading XLA:CPU AOT cache entries emits multi-KB
+    feature-mismatch error lines per load (the compiler records tuning
+    flags like +prefer-no-scatter in the feature string, then warns they
+    are "not supported on the host"), which floods subprocess pipes.
     """
     import jax
 
+    if jax.default_backend() == "cpu":
+        return
     path = path or os.environ.get(
         "JPDVT_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "jpdvt_xla"))

@@ -26,11 +26,17 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     exp = tmp_path / "exp"
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
                PYTHONPATH=REPO)
+    # Output goes to a FILE, not a PIPE: nobody drains a pipe during the
+    # poll loop below, and a chatty backend (e.g. XLA:CPU AOT cache
+    # reload warnings) can fill the 64 KB buffer and deadlock the child
+    # before its first training step.
+    outpath = tmp_path / "train_out.txt"
+    outfile = open(outpath, "w")
     proc = subprocess.Popen(
         [sys.executable, "-m", "jpdvt_mt_ntnu_tpu.train.run_train",
          f"train.exp_dir={exp}", "train.epochs=10000"] + COMMON,
         env=env, cwd=str(tmp_path),
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        stdout=outfile, stderr=subprocess.STDOUT, text=True)
 
     # wait until it is actually stepping (first logged window)
     metrics = exp / "metrics.jsonl"
@@ -41,15 +47,18 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
         if metrics.exists() and "train_loss" in metrics.read_text():
             break
         if proc.poll() is not None:
-            out, _ = proc.communicate()
-            raise AssertionError(f"train died early:\n{out}")
+            outfile.close()
+            raise AssertionError(f"train died early:\n{outpath.read_text()}")
         time.sleep(0.5)
     else:
         proc.kill()
+        outfile.close()
         raise AssertionError("training never reached the first log window")
 
     proc.send_signal(signal.SIGTERM)
-    out, _ = proc.communicate(timeout=180)
+    proc.wait(timeout=180)
+    outfile.close()
+    out = outpath.read_text()
     assert proc.returncode == 42, f"expected PREEMPTED_EXIT:\n{out}"
     assert "Preempted: checkpoint saved" in out
 

@@ -1,0 +1,112 @@
+"""On-device attention implementation shootout: XLA vs whole-row Pallas
+vs flash-tiled Pallas.
+
+Times each impl at the JPDVT model geometries (144/324 tokens, head_dim
+64) and at long sequences where the whole-row kernels exceed their VMEM
+cap (~1.3k tokens) and only flash tiling can run. Methodology follows the
+axon-tunnel rules (PERF.md): one jitted program containing a lax.scan of
+ITERS chained applications (output feeds back as q, so nothing is DCE'd),
+timed over whole-program wall clock with a single final sync.
+
+Usage (needs the real TPU; keep it the only TPU process):
+    python tools/bench_attention.py [--fwd-only] [--csv out.csv]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from jpdvt_mt_ntnu_tpu.ops.attention import _attention_pallas, _attention_xla
+from jpdvt_mt_ntnu_tpu.ops.flash_attention import flash_attention
+
+ITERS = 50          # scan length inside one program
+REPEATS = 4         # timed program replays (first replay after compile)
+
+# (B, H, N, D): model geometries, then long-sequence scaling at constant
+# B*N (so total work grows ~linearly with N and fits HBM).
+CASES = [
+    (32, 12, 144, 64),    # flagship 192px solve batch
+    (16, 12, 324, 64),    # 288px geometry
+    (16, 12, 512, 64),
+    (8, 12, 1024, 64),
+    (4, 12, 2048, 64),    # past the whole-row VMEM cap
+    (2, 12, 4096, 64),
+]
+
+IMPLS = {
+    "xla": _attention_xla,
+    "pallas": lambda q, k, v: _attention_pallas(q, k, v),
+    "flash": lambda q, k, v: flash_attention(q, k, v),
+}
+
+
+def _loop(fn, grad: bool):
+    """One jitted program: scan ITERS chained attention applications."""
+    if grad:
+        def step(q, _):
+            def loss(q_):
+                return jnp.sum(fn(q_, q_, q_) ** 2)
+            g = jax.grad(loss)(q)
+            return q - 1e-6 * g, ()
+    else:
+        def step(q, _):
+            return fn(q, q, q), ()
+
+    def run(q):
+        out, _ = jax.lax.scan(step, q, None, length=ITERS)
+        return out
+
+    return jax.jit(run)
+
+
+def bench_case(b, h, n, d, impl_name, grad):
+    fn = IMPLS[impl_name]
+    q = jax.random.normal(jax.random.key(0), (b, h, n, d), jnp.bfloat16)
+    try:
+        prog = _loop(fn, grad)
+        jax.block_until_ready(prog(q))  # compile + first run
+        t0 = time.perf_counter()
+        for _ in range(REPEATS):
+            out = prog(q)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / (REPEATS * ITERS)
+        return dt * 1e6  # us per attention application
+    except Exception as e:  # noqa: BLE001 — record OOM/lowering failures
+        msg = type(e).__name__
+        if "RESOURCE_EXHAUSTED" in str(e) or "exceeds" in str(e):
+            msg = "VMEM-OOM"
+        return msg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fwd-only", action="store_true")
+    ap.add_argument("--csv", default=None)
+    args = ap.parse_args()
+
+    print(f"backend={jax.default_backend()}", file=sys.stderr)
+    rows = []
+    for grad in ([False] if args.fwd_only else [False, True]):
+        tag = "fwd+bwd" if grad else "fwd"
+        for b, h, n, d in CASES:
+            line = [f"{tag} B={b} H={h} N={n} D={d}:"]
+            for name in IMPLS:
+                r = bench_case(b, h, n, d, name, grad)
+                val = f"{r:9.1f}us" if isinstance(r, float) else f"{r:>11}"
+                line.append(f"{name}={val}")
+                rows.append((tag, b, h, n, d, name, r))
+            print("  ".join(line), flush=True)
+    if args.csv:
+        with open(args.csv, "w") as f:
+            f.write("mode,b,h,n,d,impl,us_per_call\n")
+            for r in rows:
+                f.write(",".join(str(x) for x in r) + "\n")
+
+
+if __name__ == "__main__":
+    main()
