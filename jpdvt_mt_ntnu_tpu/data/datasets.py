@@ -190,21 +190,39 @@ class ImageFolderDataset(_Base):
 class SyntheticPuzzles:
     """Deterministic structured images for tests/benchmarks (no disk IO).
 
-    Smooth random Fourier textures, optionally watermarked with faint
-    horizontal/vertical luminance ramps (``position_cues=True``). The ramps
-    make piece positions locally inferable in a texture-independent way, so
-    a model trained on this set demonstrably LEARNS the image->position
-    mapping within a short run instead of requiring reference-scale
-    training (2.85M steps on ImageNet). Pure-texture mode
-    (``position_cues=False``) is the hard task.
+    Smooth random Fourier textures with a choice of absolute-position cue
+    regimes (``cues``), ordered by difficulty:
+
+    - ``"coords"`` (default; ``position_cues=True``): explicit coordinate
+      ramps painted into the R/G channels. Piece positions are locally
+      inferable, so a model demonstrably LEARNS the image->position
+      mapping within a short run instead of requiring reference-scale
+      training (2.85M steps on ImageNet).
+    - ``"natural"``: weak photometric cues of the kind real photographs
+      carry — a random-strength center vignette plus top-lit vertical and
+      faint horizontal luminance gradients, all channels equally. A single
+      patch's mean luminance only weakly constrains its position (cue
+      amplitude is well below texture variance), so the model must
+      integrate cues with patch-boundary continuity. Middle difficulty.
+    - ``"none"`` (``position_cues=False``): pure texture. The wave field is
+      statistically stationary, so absolute position is unidentifiable
+      from any single patch; placement requires joint edge matching over
+      all pieces. Hardest — measured flat-at-chance through 67.8k flagship
+      steps (PERF.md round 2).
     """
 
     def __init__(self, image_size: int = 192, n: int = 1024, seed: int = 0,
-                 cache: bool = True, position_cues: bool = True):
+                 cache: bool = True, position_cues: bool = True,
+                 cues: str | None = None):
         self.image_size = image_size
         self.n = n
         self.seed = seed
-        self.position_cues = position_cues
+        if cues is None:
+            cues = "coords" if position_cues else "none"
+        if cues not in ("coords", "natural", "none"):
+            raise ValueError(f"unknown cue regime {cues!r}")
+        self.cues = cues
+        self.position_cues = cues == "coords"
         self.image_files = [f"synthetic_{i:06d}.png" for i in range(n)]
         # Texture synthesis is host-compute-bound; cache generated images so
         # epochs after the first are free (~0.4 MB/item at 192px fp32).
@@ -240,10 +258,21 @@ class SyntheticPuzzles:
         img = np.sum(np.sin(2 * np.float32(np.pi) * base[..., None] + ph)
                      * amp, axis=0)
         img /= np.abs(img).max() + 1e-6
-        if self.position_cues:
+        if self.cues == "coords":
             img *= 0.6
             img[..., 0] += (xx * 2 - 1) * 0.4
             img[..., 1] += (yy * 2 - 1) * 0.4
+        elif self.cues == "natural":
+            # Photometric cues, drawn AFTER the texture params so the
+            # underlying wave stream matches the other regimes item-for-
+            # item. Luminance-only (all channels), amplitudes well below
+            # the texture's ±1 range.
+            vig = np.float32(rng.uniform(0.15, 0.35))   # center vignette
+            gv = np.float32(rng.uniform(0.10, 0.30))    # top-lit vertical
+            gh = np.float32(rng.uniform(0.05, 0.15))    # faint horizontal
+            r2 = (xx - 0.5) ** 2 + (yy - 0.5) ** 2
+            shade = -vig * 2.0 * r2 - gv * (yy - 0.5) + gh * (xx - 0.5)
+            img = img * 0.85 + shade[..., None]
         return np.clip(img, -1.0, 1.0).astype(np.float32)
 
 

@@ -68,7 +68,8 @@ def build_dataset(cfg: Config):
         return TEXMETDataset(d.data_path, "test", cfg.model.image_size)
     if d.dataset == "synthetic":
         return SyntheticPuzzles(cfg.model.image_size, n=1024, seed=cfg.eval.seed,
-                                position_cues=d.synthetic_position_cues)
+                                position_cues=d.synthetic_position_cues,
+                                cues=d.synthetic_cues or None)
     return ImageFolderDataset(d.data_path, cfg.model.image_size)
 
 

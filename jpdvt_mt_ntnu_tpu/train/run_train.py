@@ -49,9 +49,11 @@ def build_datasets(cfg: Config):
     elif d.dataset == "synthetic":
         train = SyntheticPuzzles(288 if cfg.task.crop else size,
                                  n=d.synthetic_n,
-                                 position_cues=d.synthetic_position_cues)
+                                 position_cues=d.synthetic_position_cues,
+                                 cues=d.synthetic_cues or None)
         val = SyntheticPuzzles(288 if cfg.task.crop else size, n=128, seed=7,
-                               position_cues=d.synthetic_position_cues)
+                               position_cues=d.synthetic_position_cues,
+                               cues=d.synthetic_cues or None)
     else:
         # ImageNet-style folder; reference always center-crops to 288 and
         # (with --crop) cuts 96->64 pieces to get 192 (train_JPDVT.py:289-294,

@@ -78,6 +78,10 @@ class DataConfig:
     # be inferred from texture continuity alone, like the real datasets);
     # True adds faint luminance ramps for fast learnability demos.
     synthetic_position_cues: bool = True
+    # Cue regime for the synthetic task: "" derives from
+    # synthetic_position_cues (True->"coords", False->"none");
+    # "natural" = weak photometric cues (vignette + lighting gradients).
+    synthetic_cues: str = ""
 
 
 @dataclasses.dataclass

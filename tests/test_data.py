@@ -150,3 +150,37 @@ def test_synthetic_deterministic_and_cached():
     a, b = ds[1], SyntheticPuzzles(48, n=4)[1]
     np.testing.assert_array_equal(a, b)
     assert ds[1] is ds._cache[1]  # cache hit returns same object
+
+
+def test_synthetic_cue_regimes():
+    import pytest
+
+    coords = SyntheticPuzzles(48, n=6, cues="coords")
+    natural = SyntheticPuzzles(48, n=6, cues="natural")
+    none = SyntheticPuzzles(48, n=6, cues="none")
+    # Boolean alias maps onto the regimes
+    np.testing.assert_array_equal(
+        SyntheticPuzzles(48, n=6, position_cues=False)[2], none[2])
+    np.testing.assert_array_equal(
+        SyntheticPuzzles(48, n=6, position_cues=True)[2], coords[2])
+    with pytest.raises(ValueError):
+        SyntheticPuzzles(48, n=6, cues="wat")
+
+    # Natural cues: same underlying texture stream, plus photometric
+    # shading — top rows brighter than bottom (top-lit), center brighter
+    # than corners (vignette), averaged over items.
+    tops, bottoms, centers, corners = [], [], [], []
+    for i in range(6):
+        img = natural[i]
+        assert img.shape == (48, 48, 3)
+        tops.append(img[:16].mean())
+        bottoms.append(img[-16:].mean())
+        centers.append(img[16:32, 16:32].mean())
+        corners.append((img[:8, :8].mean() + img[:8, -8:].mean()
+                        + img[-8:, :8].mean() + img[-8:, -8:].mean()) / 4)
+    assert np.mean(tops) > np.mean(bottoms) + 0.05
+    assert np.mean(centers) > np.mean(corners) + 0.05
+    # and the cue is luminance-only: channel means move together, unlike
+    # the coords regime which codes x/y into R/G specifically.
+    ch = natural[0].mean(axis=(0, 1))
+    assert ch.std() < 0.15

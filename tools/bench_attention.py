@@ -69,11 +69,16 @@ def bench_case(b, h, n, d, impl_name, grad):
     q = jax.random.normal(jax.random.key(0), (b, h, n, d), jnp.bfloat16)
     try:
         prog = _loop(fn, grad)
-        jax.block_until_ready(prog(q))  # compile + first run
+        # On the axon remote backend block_until_ready returns before the
+        # program finishes; only a D2H materialization is a real sync.
+        # So: warm up, then time REPEATS chained programs ending in one
+        # scalar fetch.
+        float(jnp.sum(prog(q)))  # compile + first run + sync
         t0 = time.perf_counter()
+        out = q
         for _ in range(REPEATS):
-            out = prog(q)
-        jax.block_until_ready(out)
+            out = prog(out)
+        float(jnp.sum(out))
         dt = (time.perf_counter() - t0) / (REPEATS * ITERS)
         return dt * 1e6  # us per attention application
     except Exception as e:  # noqa: BLE001 — record OOM/lowering failures
