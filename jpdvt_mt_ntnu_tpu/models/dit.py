@@ -138,7 +138,7 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * self.hidden_size, kernel_init=_xavier,
                        dtype=self.dtype, param_dtype=self.param_dtype,
                        name="qkv")(x)
-        impl = self.attn_impl or default_impl()
+        impl = self.attn_impl or default_impl(x.shape[1])
         if impl == "pallas":
             o = fused_qkv_attention(qkv, self.num_heads)
         elif impl == "interpret":

@@ -24,8 +24,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0, 0].astype(jnp.float32) * scale
-    k = k_ref[0, 0].astype(jnp.float32)
+    # MXU operands stay in the INPUT dtype (bf16 in production) with fp32
+    # accumulation — casting to fp32 first would force the ~8x-slower fp32
+    # MXU path on v5e. Softmax statistics are fp32. This mirrors
+    # _attention_xla exactly.
+    q = q_ref[0, 0] * scale
+    k = k_ref[0, 0]
     v = v_ref[0, 0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -39,22 +43,29 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
                      *, scale: float):
-    """Fused backward: recompute softmax (flash-style) then dq/dk/dv."""
-    q = q_ref[0, 0].astype(jnp.float32) * scale
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
+    """Fused backward: recompute softmax (flash-style) then dq/dk/dv.
+
+    MXU dot operands stay in the input dtype (fp32 softmax stats /
+    accumulation) — matching what XLA autodiff of the einsum oracle does
+    for bf16 models, at full bf16 MXU speed.
+    """
+    q = q_ref[0, 0] * scale
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)              # (N, N)
-    dv = jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)              # (N, N) fp32
+    pc = p.astype(v.dtype)
+    dv = jnp.dot(pc.T, do, preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # (N, N)
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-    dk = jnp.dot(ds.T, q, preferred_element_type=jnp.float32)  # q already scaled
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # (N, N) fp32
+    dsc = ds.astype(q.dtype)
+    dq = jnp.dot(dsc, k, preferred_element_type=jnp.float32) * scale
+    dk = jnp.dot(dsc.T, q, preferred_element_type=jnp.float32)  # q already scaled
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
@@ -135,19 +146,31 @@ def _attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def default_impl() -> str:
-    """Measured on TPU v5e, whole-solve wall clock (PERF.md round 2):
+def default_impl(n_tokens: int | None = None) -> str:
+    """Pick the attention impl by measurement, not ideology.
 
-    - 144 tokens (192px, B=32): XLA 22.6 puzzles/s vs Pallas 13.9
-    - 324 tokens (288px, B=16): XLA 7.3 puzzles/s vs Pallas 6.1
+    TPU v5e, tools/bench_attention.py (chained-scan wall clock, H=12 D=64,
+    bf16, round 2, after the native-dtype MXU fix):
 
-    At JPDVT sequence lengths the MXU-tiled batched matmuls XLA emits beat
-    per-(batch, head-group) kernel launches at every measured geometry, so
-    XLA is the default everywhere. The Pallas kernels stay selectable
-    (attn_impl='pallas') and tested; they hold whole score rows in VMEM,
-    which caps them at ~1.3k tokens — a flash-tiled rewrite is the
-    prerequisite for Pallas to win any geometry this model family uses.
+    - N<=324 (the JPDVT 192/288px geometries): XLA's batched MXU einsums
+      win — per-(batch, head-group) kernel launches can't amortize at
+      these sizes (fwd+bwd N=324: XLA 482us vs pallas 735us).
+    - N in [512, 1296]: the whole-row Pallas kernels win, decisively on
+      fwd+bwd (N=1024: 1.25 ms vs XLA 4.69 ms; N=1296: 1.15 vs 3.74) —
+      one VMEM round trip and a fused recompute backward beat XLA's
+      materialized softmax.
+    - N > 1296: whole-row blocks exceed VMEM; the flash-tiled kernels
+      (ops/flash_attention.py, 512x1024 tiles) win BOTH modes
+      (fwd+bwd N=2048: 3.20 ms vs XLA 8.95; N=4096: 5.91 vs 24.5 — 4.1x).
+
+    `n_tokens=None` (unknown geometry) and non-TPU backends choose XLA.
     """
+    if n_tokens is None or jax.default_backend() != "tpu":
+        return "xla"
+    if 512 <= n_tokens <= 1296:
+        return "pallas"
+    if n_tokens > 1296:
+        return "flash"
     return "xla"
 
 
@@ -175,8 +198,8 @@ def _heads_per_block(d: int) -> int:
 def _qkv_attn_kernel(qkv_ref, o_ref, *, scale: float, d: int, hpb: int):
     for i in range(hpb):
         sl = slice(i * d, (i + 1) * d)
-        q = qkv_ref[0, :, 0, sl].astype(jnp.float32) * scale
-        k = qkv_ref[0, :, 1, sl].astype(jnp.float32)
+        q = qkv_ref[0, :, 0, sl] * scale      # input dtype on the MXU,
+        k = qkv_ref[0, :, 1, sl]              # fp32 accumulation below
         v = qkv_ref[0, :, 2, sl]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -191,21 +214,23 @@ def _qkv_attn_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, scale: float,
                          d: int, hpb: int):
     for i in range(hpb):
         sl = slice(i * d, (i + 1) * d)
-        q = qkv_ref[0, :, 0, sl].astype(jnp.float32) * scale
-        k = qkv_ref[0, :, 1, sl].astype(jnp.float32)
-        v = qkv_ref[0, :, 2, sl].astype(jnp.float32)
-        do = do_ref[0, :, sl].astype(jnp.float32)
+        q = qkv_ref[0, :, 0, sl] * scale      # input dtype on the MXU,
+        k = qkv_ref[0, :, 1, sl]              # fp32 softmax/accumulation
+        v = qkv_ref[0, :, 2, sl]
+        do = do_ref[0, :, sl]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
-        dv = jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        pc = p.astype(v.dtype)
+        dv = jnp.dot(pc.T, do, preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-        dk = jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        dsc = ds.astype(q.dtype)
+        dq = jnp.dot(dsc, k, preferred_element_type=jnp.float32) * scale
+        dk = jnp.dot(dsc.T, q, preferred_element_type=jnp.float32)
         dqkv_ref[0, :, 0, sl] = dq.astype(dqkv_ref.dtype)
         dqkv_ref[0, :, 1, sl] = dk.astype(dqkv_ref.dtype)
         dqkv_ref[0, :, 2, sl] = dv.astype(dqkv_ref.dtype)
@@ -319,9 +344,10 @@ def multihead_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                         impl: str | None = None) -> jnp.ndarray:
     """Fused MHA. q, k, v: (B, H, N, Dh) -> (B, H, N, Dh).
 
-    impl: "pallas" | "xla" | "interpret" | None (auto by backend).
+    impl: "pallas" | "xla" | "flash" | "interpret" | None (auto by
+    backend + measured per-geometry rules, see default_impl).
     """
-    impl = impl or default_impl()
+    impl = impl or default_impl(q.shape[2])
     if impl == "flash":
         from .flash_attention import flash_attention
 

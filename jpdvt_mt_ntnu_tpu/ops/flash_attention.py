@@ -66,10 +66,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale          # (bq, d)
-    k = k_ref[0, 0].astype(jnp.float32)                  # (bk, d)
-    v = v_ref[0, 0].astype(jnp.float32)                  # (bk, d)
-    s = jax.lax.dot_general(                             # (bq, bk)
+    # MXU operands in the input dtype (bf16 in production), fp32
+    # accumulation + softmax stats — the fp32-everywhere variant measured
+    # ~4x slower (fp32 MXU path).
+    q = q_ref[0, 0] * scale                              # (bq, d)
+    k = k_ref[0, 0]                                      # (bk, d)
+    v = v_ref[0, 0]                                      # (bk, d)
+    s = jax.lax.dot_general(                             # (bq, bk) fp32
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     if n_valid % block_k:
         # Only the final KV block can contain padded columns, but masking
@@ -85,7 +88,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     l_scr[...] = l_scr[...] * alpha + jnp.sum(e, axis=-1, keepdims=True)
     m_scr[...] = m_new
     acc_scr[...] = (acc_scr[...] * alpha[:, :1]
-                    + jnp.dot(e, v, preferred_element_type=jnp.float32))
+                    + jnp.dot(e.astype(v.dtype), v,
+                              preferred_element_type=jnp.float32))
 
     @pl.when(kv_idx == kv_steps - 1)
     def _finalize():
@@ -163,22 +167,23 @@ def _dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref, dq_scr,
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
-    o = o_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0] * scale
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    o = o_ref[0, 0]
     lse = lse_ref[0, 0][:, :1]                            # (bq, 1)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     if n_valid % block_k:
         s = _kv_mask(s, kv_idx, block_k, n_valid)
-    p = jnp.exp(s - lse)                                  # (bq, bk)
+    p = jnp.exp(s - lse)                                  # (bq, bk) fp32
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)       # (bq, 1)
-    ds = p * (dp - delta)
+    delta = jnp.sum(do.astype(jnp.float32) * o, axis=-1,
+                    keepdims=True)                        # (bq, 1)
+    ds = (p * (dp - delta)).astype(k.dtype)
     dq_scr[...] += jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
 
     @pl.when(kv_idx == kv_steps - 1)
@@ -197,11 +202,11 @@ def _dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dk_ref, dv_ref,
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
-    o = o_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0] * scale
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    o = o_ref[0, 0]
     lse = lse_ref[0, 0][:, :1]
 
     s = jax.lax.dot_general(                              # (bq, bk)
@@ -209,14 +214,15 @@ def _dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dk_ref, dv_ref,
     if n_valid % block_k:
         s = _kv_mask(s, kv_idx, block_k, n_valid)
     p = jnp.exp(s - lse)
+    pc = p.astype(do.dtype)
     # Padded Q rows carry do == 0, so they add exactly 0 to dk/dv; no row
     # masking needed.
     dv_scr[...] += jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        pc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)
-    ds = p * (dp - delta)                                 # (bq, bk)
+    delta = jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True)
+    ds = (p * (dp - delta)).astype(q.dtype)               # (bq, bk)
     dk_scr[...] += jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
@@ -305,8 +311,17 @@ def _pick_block(n: int, requested: int) -> int:
     return requested
 
 
+# Default tiles are LARGE (512 x 1024): the flash grid launches one
+# program per (batch, head, q-block, kv-block), and with 128-token tiles
+# the per-step (128, 64) x (64, 128) matmuls measured ~2% MXU utilization
+# at 4k tokens — grid/step overhead dominated. 512 x 1024 tiles keep
+# VMEM use ~6 MB and feed the MXU full-width operands.
+BLOCK_Q = 512
+BLOCK_K = 1024
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def flash_attention(q, k, v, block_q: int = 128, block_k: int = 128,
+def flash_attention(q, k, v, block_q: int = BLOCK_Q, block_k: int = BLOCK_K,
                     interpret: bool = False):
     """Streaming-KV attention: (B, H, N, D) -> (B, H, N, D).
 

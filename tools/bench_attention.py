@@ -34,6 +34,8 @@ CASES = [
     (16, 12, 324, 64),    # 288px geometry
     (16, 12, 512, 64),
     (8, 12, 1024, 64),
+    (4, 12, 1296, 64),    # 576px geometry; routing-window upper edge
+
     (4, 12, 2048, 64),    # past the whole-row VMEM cap
     (2, 12, 4096, 64),
 ]
