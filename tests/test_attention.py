@@ -56,3 +56,19 @@ def test_bf16_path():
     np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
                                np.asarray(ref, dtype=np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_default_impl_geometry_routing(monkeypatch):
+    """Routing mirrors the v5e measurements (tools/bench_attention.py):
+    XLA at stock JPDVT sizes, whole-row Pallas 512-1296, flash beyond."""
+    from jpdvt_mt_ntnu_tpu.ops import attention as A
+
+    assert A.default_impl(144) == "xla"          # cpu backend -> always xla
+    monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+    assert A.default_impl(None) == "xla"
+    assert A.default_impl(144) == "xla"
+    assert A.default_impl(324) == "xla"
+    assert A.default_impl(512) == "pallas"
+    assert A.default_impl(1296) == "pallas"
+    assert A.default_impl(1297) == "flash"
+    assert A.default_impl(4096) == "flash"
