@@ -38,7 +38,12 @@ def init_compilation_cache(path: str | None = None) -> None:
     """
     import jax
 
-    if jax.default_backend() == "cpu":
+    # Decide CPU-ness WITHOUT initializing the backend — this runs before
+    # jax.distributed.initialize() in the CLIs, and jax.default_backend()
+    # would lock the process into single-host mode. The platforms config
+    # is already resolved by ensure_platform()/sitecustomize by now.
+    platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    if platforms.startswith("cpu"):
         return
     path = path or os.environ.get(
         "JPDVT_COMPILE_CACHE",
