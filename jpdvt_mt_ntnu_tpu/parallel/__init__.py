@@ -11,4 +11,5 @@ from .sharding import (  # noqa: F401
     param_shardings,
     replicate,
     shard_batch,
+    state_shardings,
 )

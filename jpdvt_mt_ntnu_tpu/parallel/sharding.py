@@ -47,6 +47,20 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
     )
 
 
+def state_shardings(state: Any, mesh: Mesh) -> Any:
+    """Shardings for a whole TrainState (params, EMA, optimizer state).
+
+    ``param_shardings`` keys on param-path *names*, and every param-shaped
+    subtree of the state preserves those names: EMA mirrors params, and the
+    optimizer moments (adam mu/nu) are dicts with identical paths. Scalar
+    leaves (step counter, adam count) match no rule and replicate. So the
+    TP specs apply uniformly to the full state — this is what the
+    production trainer device_puts its state with (run_train.main), and
+    what checkpoint restore re-places onto the mesh.
+    """
+    return param_shardings(state, mesh)
+
+
 def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -146,9 +146,17 @@ def main(argv=None) -> int:
                                 f"grid{cfg.task.grid_size}"])
     logger.info(f"Config:\n{cfg.to_json()}")
 
+    mesh = make_mesh(MeshSpec(cfg.mesh.data, cfg.mesh.model))
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    attn_impl = cfg.model.attn_impl
+    if mesh.shape["model"] > 1 and attn_impl != "xla":
+        # The Pallas attention kernels are not GSPMD-partitionable over the
+        # 'model' axis; XLA einsum attention shards head-wise for free.
+        logger.info("mesh.model>1: forcing attn_impl=xla (Pallas kernels "
+                    "are not partitionable over the model axis)")
+        attn_impl = "xla"
     model, model_cfg = create_model(cfg.model.name, cfg.model.image_size,
-                                    dtype=dtype, attn_impl=cfg.model.attn_impl,
+                                    dtype=dtype, attn_impl=attn_impl,
                                     **cfg.model.overrides())
     diffusion = create_diffusion(cfg.diffusion.timestep_respacing,
                                  cfg.diffusion.noise_schedule,
@@ -170,9 +178,17 @@ def main(argv=None) -> int:
     piece_code = jnp.asarray(grid_code(model_cfg.code_dim, grid))
     train_step = make_train_step(model, diffusion, optimizer, task, piece_code)
 
-    mesh = make_mesh(MeshSpec(cfg.mesh.data, cfg.mesh.model))
     state = create_train_state(model, model_cfg, jax.random.key(cfg.train.global_seed),
                                optimizer)
+    # Tensor parallelism for real: params, EMA AND optimizer moments are
+    # placed with the Megatron specs (parallel/sharding.py) — with
+    # mesh.model>1 each chip holds 1/model of every sharded matrix and XLA
+    # inserts the per-sublayer reductions. mesh.model=1 degenerates to
+    # replicated (pure DP), identical to the reference's DDP.
+    from ..parallel import state_shardings
+
+    state_sharding = state_shardings(state, mesh)
+    state = jax.device_put(state, state_sharding)
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     logger.info(f"{cfg.model.name}: {n_params / 1e6:.1f}M params, "
                 f"mesh={dict(mesh.shape)}")
@@ -185,11 +201,9 @@ def main(argv=None) -> int:
             raise FileNotFoundError(
                 f"train.resume={cfg.train.resume!r} contains no checkpoints "
                 "— refusing to silently restart from scratch")
-        from ..parallel import replicate
-
-        # Restored arrays land on one device; re-place them to match the
-        # mesh the sharded batches use.
-        state = jax.device_put(ckpt.restore(state), replicate(mesh))
+        # Restored arrays land on one device; re-place them with the same
+        # (TP-aware) shardings the fresh state uses.
+        state = jax.device_put(ckpt.restore(state), state_sharding)
         logger.info(f"Resumed from step {int(state.step)}")
 
     loader, val_ds = build_datasets(cfg)
@@ -209,8 +223,13 @@ def main(argv=None) -> int:
         from concurrent.futures import ThreadPoolExecutor
 
         ds = loader.dataset
-        with ThreadPoolExecutor(max(4, cfg.data.num_workers)) as pool:
-            stack = np.stack(list(pool.map(ds.__getitem__, range(len(ds)))))
+        if getattr(ds, "cues", None) == "waves":
+            # Synthesize directly on device (seconds vs ~45 min of host
+            # sin() for a 16k-image set on a 1-core VM).
+            stack = ds.device_generate_all()
+        else:
+            with ThreadPoolExecutor(max(4, cfg.data.num_workers)) as pool:
+                stack = np.stack(list(pool.map(ds.__getitem__, range(len(ds)))))
         device_data = shard_batch(
             {"x": jnp.asarray(stack, dtype=jnp.bfloat16)}, mesh)["x"]
         logger.info(f"device-cached dataset: {device_data.shape} "
@@ -289,7 +308,11 @@ def main(argv=None) -> int:
                 val = validator(state.ema_params, val_ds)
                 logger.info(f"Validation: {val}")
                 writer.log(val, step)
-                window_start = time.time()  # don't bill val to steps/s
+                # Don't bill validation time to steps/s: flush the loss
+                # window along with the clock, else the next log divides a
+                # full window's steps by only the post-validation elapsed.
+                window_losses.clear()
+                window_start = time.time()
     # One exit path for BOTH clean completion and preemption: the signal can
     # land anywhere (including between epochs), so the sentinel decision is
     # made here, after the loops unwind. On multi-host clusters the scheduler

@@ -1,0 +1,122 @@
+"""Tensor parallelism wired into the PRODUCTION training path.
+
+Round-3 closure of the one "demoware" claim from the round-2 review:
+run_train now places params, EMA *and* optimizer moments with the Megatron
+specs (parallel/sharding.state_shardings). These tests prove, on the
+virtual 8-device CPU mesh, that
+
+- a (data=4, model=2) training run produces the SAME losses step-for-step
+  as pure DP (sharding must never change the math, only the layout);
+- the state coming OUT of the jitted step is still TP-sharded (no silent
+  GSPMD fallback to replicated), including the adam mu/nu moments;
+- the run_train CLI itself works end-to-end with mesh.model=2.
+
+Reference point: the reference has data parallelism only
+(image_model/train_JPDVT.py:231); TP is this framework's own extension.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jpdvt_mt_ntnu_tpu.core.diffusion import create_diffusion
+from jpdvt_mt_ntnu_tpu.models import create_model
+from jpdvt_mt_ntnu_tpu.parallel import (MeshSpec, make_mesh, shard_batch,
+                                        state_shardings)
+from jpdvt_mt_ntnu_tpu.train import create_train_state, make_train_step
+from jpdvt_mt_ntnu_tpu.train.state import make_optimizer
+from jpdvt_mt_ntnu_tpu.train.steps import TrainTask
+from jpdvt_mt_ntnu_tpu.utils.pos_embed import grid_code
+
+
+def _setup(mesh):
+    model, cfg = create_model("JPDVT", input_size=48, depth=2, hidden_size=64,
+                              num_heads=4, attn_impl="xla")
+    diff = create_diffusion("")
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(model, cfg, jax.random.key(0), opt)
+    state = jax.device_put(state, state_shardings(state, mesh))
+    task = TrainTask(grid_size=3, block_size=16, patch_size=16)
+    step = make_train_step(model, diff, opt, task,
+                           jnp.asarray(grid_code(8, 3)), donate=False)
+    return state, step
+
+
+def _run(mesh, n_steps=3):
+    state, step = _setup(mesh)
+    losses = []
+    for i in range(n_steps):
+        x = jax.random.normal(jax.random.key(100 + i), (8, 48, 48, 3)) * 0.5
+        batch = shard_batch({"x": x}, mesh)["x"]
+        state, m = step(state, batch, jax.random.key(1))
+        losses.append(float(m["loss"]))
+    return state, losses
+
+
+def test_tp_losses_match_dp_step_for_step():
+    """mesh.model=2 training == mesh.model=1, same global batch, fp32."""
+    _, dp_losses = _run(make_mesh(MeshSpec(data=8, model=1)))
+    _, tp_losses = _run(make_mesh(MeshSpec(data=4, model=2)))
+    np.testing.assert_allclose(tp_losses, dp_losses, rtol=2e-5)
+
+
+def test_tp_state_stays_sharded_through_the_step():
+    """Outputs of the jitted step keep the Megatron shardings (params, EMA,
+    and adam moments) — GSPMD must not silently replicate them."""
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    state, _ = _run(mesh, n_steps=1)
+
+    def qkv_kernel(tree):
+        return tree["params"]["block_0"]["attn"]["qkv"]["kernel"]
+
+    for leaf in (qkv_kernel(state.params), qkv_kernel(state.ema_params),
+                 qkv_kernel(state.opt_state[0].mu),
+                 qkv_kernel(state.opt_state[0].nu)):
+        assert "model" in str(leaf.sharding.spec), leaf.sharding
+        # Each device holds half the output-feature dim (qkv: P(None,'model')).
+        shard = leaf.addressable_shards[0]
+        assert shard.data.shape[-1] == leaf.shape[-1] // 2
+    # Scalars replicate.
+    assert state.opt_state[0].count.sharding.is_fully_replicated
+    assert state.step.sharding.is_fully_replicated
+
+
+def test_run_train_cli_with_model_axis(tmp_path, monkeypatch):
+    """The production CLI trains with mesh.model=2 (and validates/saves)."""
+    monkeypatch.chdir(tmp_path)
+    from jpdvt_mt_ntnu_tpu.train.run_train import main
+
+    rc = main([
+        "data.dataset=synthetic", "data.global_batch_size=8",
+        "data.num_workers=2", "data.synthetic_n=16",
+        "model.image_size=48", "model.depth=1", "model.hidden_size=64",
+        "model.num_heads=4", "model.compute_dtype=float32",
+        # attn_impl deliberately unset: run_train must force xla itself
+        "task.grid_size=3",
+        "mesh.data=4", "mesh.model=2",
+        "train.epochs=1", "train.log_every=2", "train.ckpt_every=1000000",
+        f"train.results_dir={tmp_path}/results",
+        "diffusion.sampling_steps=2", "diffusion.sampler_mode=fast",
+    ])
+    assert rc == 0
+
+
+def test_run_train_cli_resume_with_model_axis(tmp_path, monkeypatch):
+    """Checkpoint save/restore round-trips through TP shardings."""
+    monkeypatch.chdir(tmp_path)
+    from jpdvt_mt_ntnu_tpu.train.run_train import main
+
+    common = [
+        "data.dataset=synthetic", "data.global_batch_size=8",
+        "data.num_workers=2", "data.synthetic_n=16",
+        "model.image_size=48", "model.depth=1", "model.hidden_size=64",
+        "model.num_heads=4", "model.compute_dtype=float32",
+        "task.grid_size=3", "mesh.data=4", "mesh.model=2",
+        "train.log_every=2", "train.ckpt_every=1000000",
+        f"train.exp_dir={tmp_path}/exp",
+        "diffusion.sampling_steps=2", "diffusion.sampler_mode=fast",
+    ]
+    assert main(common + ["train.epochs=1"]) == 0
+    assert main(common + ["train.epochs=1",
+                          f"train.resume={tmp_path}/exp/checkpoints"]) == 0
