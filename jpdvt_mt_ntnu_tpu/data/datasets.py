@@ -204,11 +204,23 @@ class SyntheticPuzzles:
       patch's mean luminance only weakly constrains its position (cue
       amplitude is well below texture variance), so the model must
       integrate cues with patch-boundary continuity. Middle difficulty.
+    - ``"waves"``: the RELATIONAL regime (round 3). 2-3 low-frequency
+      plane waves with per-image random orientation, frequency and phase.
+      The field is strictly stationary (a sine with uniform random phase
+      has a position-independent marginal), so a single piece's appearance
+      carries ZERO absolute-position information — but with >=2
+      non-parallel components the joint field is identifiable from the
+      piece multiset, so the correct placement is recoverable only by
+      integrating evidence ACROSS pieces (estimate the field jointly,
+      place each piece by continuity). This isolates the relational
+      capability the reference's ImageNet model exercises, at a
+      difficulty a single-chip training budget can reach.
     - ``"none"`` (``position_cues=False``): pure texture. The wave field is
       statistically stationary, so absolute position is unidentifiable
       from any single patch; placement requires joint edge matching over
       all pieces. Hardest — measured flat-at-chance through 67.8k flagship
-      steps (PERF.md round 2).
+      steps (PERF.md round 2): 6 components up to 6 cycles/image leave no
+      learnable low-frequency structure, unlike ``"waves"``.
     """
 
     def __init__(self, image_size: int = 192, n: int = 1024, seed: int = 0,
@@ -219,7 +231,7 @@ class SyntheticPuzzles:
         self.seed = seed
         if cues is None:
             cues = "coords" if position_cues else "none"
-        if cues not in ("coords", "natural", "none"):
+        if cues not in ("coords", "natural", "waves", "none"):
             raise ValueError(f"unknown cue regime {cues!r}")
         self.cues = cues
         self.position_cues = cues == "coords"
@@ -239,14 +251,88 @@ class SyntheticPuzzles:
             self._cache[i] = out
         return out
 
+    # ---------------------------------------------------- "waves" regime
+
+    _WAVES_MAX_K = 3
+
+    def _wave_params(self, i: int):
+        """Per-image plane-wave parameters, padded to _WAVES_MAX_K rows
+        (zero-amplitude padding). Drawn on host so the host and device
+        generators share one RNG stream; values then differ only at fp32
+        rounding between numpy and XLA sin."""
+        rng = np.random.default_rng(self.seed * 1000003 + i)
+        k = int(rng.integers(2, self._WAVES_MAX_K + 1))
+        # Orientations with pairwise separation >= 0.35 rad (mod pi):
+        # near-parallel components would leave near-identical pieces along
+        # the shared wavefront (an unresolvable permutation ambiguity).
+        while True:
+            th = rng.uniform(0, np.pi, k)
+            d = np.abs(th[:, None] - th[None, :])
+            d = np.minimum(d, np.pi - d)
+            if k == 1 or np.all(d[np.triu_indices(k, 1)] >= 0.35):
+                break
+        pad = self._WAVES_MAX_K - k
+        th = np.pad(th, (0, pad)).astype(np.float32)
+        f = np.pad(rng.uniform(0.4, 1.8, k), (0, pad)).astype(np.float32)
+        ph = np.pad(rng.uniform(0, 2 * np.pi, k), (0, pad)).astype(np.float32)
+        amp = np.pad(rng.uniform(0.3, 1.0, (k, 3)),
+                     ((0, pad), (0, 0))).astype(np.float32)
+        return th, f, ph, amp
+
+    @staticmethod
+    def _waves_field(th, f, ph, amp, xx, yy, xp=np):
+        """Shared host/device field math. th/f/ph: (K,), amp: (K, 3),
+        xx/yy: (s, s) in [0, 1) -> (s, s, 3) in [-1, 1]."""
+        u = (xp.cos(th)[:, None, None] * xx[None]
+             + xp.sin(th)[:, None, None] * yy[None])          # (K, s, s)
+        base = xp.sin(2 * np.float32(np.pi) * f[:, None, None] * u
+                      + ph[:, None, None])                    # (K, s, s)
+        img = xp.sum(base[..., None] * amp[:, None, None, :], axis=0)
+        img = img / (xp.max(xp.abs(img)) + 1e-6)
+        return xp.clip(img * 0.9, -1.0, 1.0)
+
+    def device_generate_all(self, batch: int = 512):
+        """Generate the whole ``waves`` dataset ON DEVICE as one jitted
+        program (bf16 output) — host synthesis of a 16k-image set costs
+        ~45 min on a 1-core VM; the device path takes seconds. Only the
+        tiny per-image parameter draws stay on host, so items match the
+        host ``__getitem__`` stream to fp32 rounding."""
+        import jax
+        import jax.numpy as jnp
+
+        if self.cues != "waves":
+            raise NotImplementedError("device generation is waves-only")
+        ps = [self._wave_params(i) for i in range(self.n)]
+        th, f, ph, amp = (np.stack([p[j] for p in ps]) for j in range(4))
+        s = self.image_size
+        grid = np.mgrid[0:s, 0:s].astype(np.float32) / s
+        yy, xx = jnp.asarray(grid[0]), jnp.asarray(grid[1])
+
+        @jax.jit
+        def gen(th, f, ph, amp):
+            mk = lambda args: self._waves_field(  # noqa: E731
+                *args, xx, yy, xp=jnp).astype(jnp.bfloat16)
+            return jax.lax.map(mk, (th, f, ph, amp))
+
+        n_pad = (-self.n) % batch
+        arrs = [jnp.asarray(np.concatenate([a, a[:n_pad]]) if n_pad else a)
+                for a in (th, f, ph, amp)]
+        chunks = [gen(*(a[i * batch:(i + 1) * batch] for a in arrs))
+                  for i in range((self.n + n_pad) // batch)]
+        return jnp.concatenate(chunks)[:self.n]
+
     def _generate(self, i: int) -> np.ndarray:
         rng = np.random.default_rng(self.seed * 1000003 + i)
         s = self.image_size
         yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
-        # Draw per-wave (preserves the historical RNG stream), then compute
-        # all 6 waves vectorized in float32 — the naive per-wave loop
-        # upcast to float64 inside sin and cost ~0.18 s/item, which
-        # dominated device-cache staging (~12 min for 4096 images).
+        if self.cues == "waves":
+            th, f, ph, amp = self._wave_params(i)
+            return self._waves_field(th, f, ph, amp, xx, yy).astype(np.float32)
+        # Draw per-wave (preserves the historical RNG stream — but note the
+        # VALUES differ from pre-round-2 builds at ~1e-7: the old per-wave
+        # loop upcast to float64 inside sin and cost ~0.18 s/item, which
+        # dominated device-cache staging; this computes all 6 waves
+        # vectorized in float32).
         f = np.empty((6, 2), np.float32)
         ph = np.empty((6, 1, 1, 3), np.float32)
         amp = np.empty((6, 1, 1, 3), np.float32)

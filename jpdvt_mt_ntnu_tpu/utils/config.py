@@ -80,7 +80,10 @@ class DataConfig:
     synthetic_position_cues: bool = True
     # Cue regime for the synthetic task: "" derives from
     # synthetic_position_cues (True->"coords", False->"none");
-    # "natural" = weak photometric cues (vignette + lighting gradients).
+    # "natural" = weak photometric cues (vignette + lighting gradients);
+    # "waves" = relational regime (stationary low-freq plane waves — a
+    # single piece carries zero position signal; only cross-piece field
+    # inference places pieces).
     synthetic_cues: str = ""
 
 

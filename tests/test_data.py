@@ -184,3 +184,49 @@ def test_synthetic_cue_regimes():
     # the coords regime which codes x/y into R/G specifically.
     ch = natural[0].mean(axis=(0, 1))
     assert ch.std() < 0.15
+
+
+def test_waves_regime_host_device_parity_and_stationarity():
+    """The relational 'waves' regime: host/device generators agree, images
+    are valid and distinct, and — the defining property — no grid position
+    is systematically brighter/darker across images (a sine field with
+    uniform random phase is stationary, so single-piece appearance carries
+    no absolute-position signal)."""
+    ds = SyntheticPuzzles(48, n=48, cues="waves")
+    a = ds[0]
+    assert a.shape == (48, 48, 3) and a.dtype == np.float32
+    assert np.abs(a).max() <= 1.0
+    assert not np.allclose(ds[0], ds[1])
+    # determinism
+    np.testing.assert_array_equal(a, SyntheticPuzzles(48, n=2, cues="waves")[0])
+
+    # Host vs device generation (fp32 vs XLA sin: tiny rounding, plus the
+    # bf16 storage cast of the device path).
+    dev = np.asarray(ds.device_generate_all(batch=16), np.float32)
+    for i in (0, 7, 47):
+        np.testing.assert_allclose(dev[i], ds[i], atol=2e-2)
+
+    # Stationarity: per-position piece means, averaged over images, are all
+    # ~0 and indistinguishable across the 9 grid slots.
+    p = 16
+    means = np.zeros((3, 3))
+    for i in range(48):
+        img = ds[i]
+        for r in range(3):
+            for c in range(3):
+                means[r, c] += img[r*p:(r+1)*p, c*p:(c+1)*p].mean() / 48
+    assert np.abs(means).max() < 0.08, means
+
+
+def test_waves_components_not_near_parallel():
+    ds = SyntheticPuzzles(48, n=64, cues="waves")
+    for i in range(64):
+        th, f, ph, amp = ds._wave_params(i)
+        live = amp.sum(-1) > 0
+        t = th[live]
+        assert 2 <= live.sum() <= 3
+        assert (f[live] >= 0.4).all() and (f[live] <= 1.8).all()
+        d = np.abs(t[:, None] - t[None, :])
+        d = np.minimum(d, np.pi - d)
+        iu = np.triu_indices(len(t), 1)
+        assert (d[iu] >= 0.35).all()
