@@ -64,14 +64,46 @@ def throughput_back_to_back(solver, params, x, iters: int = 20) -> float:
     For sub-100ms programs the per-call host round trip (remote-tunnel
     dispatch + D2H of the metrics) dominates `throughput()`; this measures
     the serving-relevant pipelined rate instead.
+
+    The fence is ONE actual D2H readback (`float(jnp.sum(...))`) — on the
+    remote-tunnel backend `block_until_ready` alone can return before the
+    device work drains, inflating the number (round-2 lesson; the round-2
+    "4,975 p/s" figure was measured with the unreliable idiom and is
+    superseded by this one).
     """
     r = solver._solve_codes(params, x)
-    jax.block_until_ready(r)
+    float(jnp.sum(r[1]))  # warm + drain
     t0 = time.perf_counter()
     for _ in range(iters):
         r = solver._solve_codes(params, x)
-    jax.block_until_ready(r)
+    float(jnp.sum(r[1]))  # one final D2H readback fences the whole run
     return x.shape[0] / ((time.perf_counter() - t0) / iters)
+
+
+def faithful_flops_per_puzzle(cfg, steps: int = STEPS) -> float:
+    """Analytic bf16 FLOPs of one faithful solve (dense matmuls + attention;
+    elementwise ignored). The condition embedding is hoisted out of the
+    scan (solver.py), so it counts once; each of the ``steps`` model calls
+    counts the full DiT stack on N tokens."""
+    n, d = cfg.num_tokens, cfg.hidden_size
+    m = int(cfg.mlp_ratio * d)
+    pd = cfg.patch_dim
+    per_fwd = (
+        2 * n * cfg.code_dim * d            # code_in
+        + 2 * 256 * d + 2 * d * d           # t_embedder MLP
+        + cfg.depth * (
+            2 * n * d * 3 * d               # qkv
+            + 4 * n * n * d                 # scores + weighted sum
+            + 2 * n * d * d                 # proj
+            + 2 * (2 * n * d * m)           # mlp fc1+fc2
+            + 2 * d * 6 * d)                # adaLN
+        + 2 * n * d * pd + 2 * d * 2 * d    # final layer
+        + 2 * n * (pd * cfg.code_head_hidden
+                   + cfg.code_head_hidden * cfg.code_dim))
+    return steps * per_fwd + 2 * n * pd * d  # + one condition embed
+
+
+V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s per chip
 
 
 def main():
@@ -89,8 +121,10 @@ def main():
     # slow remote compile).
     batches = (32, 64, 128) if "--full" in sys.argv else (128,)
     best, best_batch = 0.0, 0
+    flops_per_puzzle = None
     for batch in batches:
         solver, params, x = build("faithful", batch)
+        flops_per_puzzle = faithful_flops_per_puzzle(solver.cfg)
         tp = throughput(solver, params, x)
         log(f"faithful {STEPS}-step batch={batch}: {tp:.2f} puzzles/s")
         if tp > best:
@@ -105,6 +139,9 @@ def main():
     log(f"fast-equivalent batch=128 (pipelined): {fast_tp:.1f} puzzles/s")
 
     value = best / n_chips
+    mfu = value * flops_per_puzzle / V5E_BF16_PEAK
+    log(f"MFU (faithful): {mfu:.1%} of v5e bf16 peak "
+        f"({flops_per_puzzle / 1e12:.2f} TFLOP/puzzle)")
     print(json.dumps({
         "metric": "puzzles_per_sec_per_chip",
         "value": round(value, 3),
@@ -112,6 +149,7 @@ def main():
         "vs_baseline": round(value / BASELINE_PUZZLES_PER_SEC, 2),
         "config": f"3x3@{IMAGE_SIZE}, {STEPS}-step faithful, batch {best_batch}, bf16",
         "fast_mode_equivalent": round(fast_tp / n_chips, 1),
+        "mfu": round(mfu, 3),
     }))
 
 

@@ -12,7 +12,12 @@ the reference are all upgrades:
   (inference_ddp.py:325) and write per-host journals (no racy appends);
 - per-item failures (decode errors) are skipped and logged, and completed
   items resume from the journal exactly like the reference
-  (inference.py:236-245,367-370).
+  (inference.py:236-245,367-370);
+- host work overlaps device work (round 3): batch N+1 decodes on a
+  prefetch thread while the device solves batch N (the C++ decoder
+  releases the GIL for exactly this), and journaling/PNG-writing happens
+  on an ordered writer thread — the eval loop is device-bound instead of
+  host-bound (was 13x slower than the solve it wrapped).
 """
 
 from __future__ import annotations
@@ -135,8 +140,8 @@ class EvalHarness:
         rng = np.random.default_rng(self.seed + self.process_index)
         start = time.time()
         done_this_run = 0
-        for chunk_start in range(0, len(todo), self.batch_size):
-            chunk = todo[chunk_start:chunk_start + self.batch_size]
+
+        def load_chunk(chunk):
             images, names = [], []
             for q in chunk:
                 try:
@@ -145,18 +150,12 @@ class EvalHarness:
                 except Exception as e:  # decode failure: skip + log
                     self.err_logger.error(f"Failed on image {key_of(q)}: {e}")
                     self.logger.error(f"Skipping {key_of(q)} due to error.")
-            if not images:
-                continue
-            t0 = time.time()
-            batch = np.stack(images)
-            key = jax.random.key(int(rng.integers(0, 2**31)))
-            try:
-                res = self.solver.evaluate(self.params, batch, key)
-            except Exception as e:
-                self.err_logger.error(f"Batch solve failed ({names[0]}...): {e}")
-                continue
-            elapsed = time.time() - t0
-            per_item = elapsed / len(names)
+            return images, names
+
+        def write_results(names, batch, res, per_item):
+            # Runs on the single writer thread: journal appends stay in
+            # submission order (resume correctness), PNG encodes overlap
+            # the next device solve.
             if self.results_dir:
                 scrambled = self.solver._scramble(batch, res.indices)
                 recon = self.solver.reconstruct(scrambled, res.pred)
@@ -168,16 +167,47 @@ class EvalHarness:
             for i, n in enumerate(names):
                 self.journal.append(n, int(res.puzzle_correct[i]),
                                     int(res.patch_matches[i]), per_item)
-                state.processed.add(n)
-                state.puzzle_correct += int(res.puzzle_correct[i])
-                state.patch_matches += int(res.patch_matches[i])
-                state.count += 1
-                done_this_run += 1
-            pa, ta = state.accuracy(p)
-            self.logger.info(
-                f"{state.count} done | batch {len(names)} in {elapsed:.2f}s "
-                f"({len(names) / elapsed:.2f} puzzles/s) | running "
-                f"puzzleAcc={pa:.4f} patchAcc={ta:.4f}")
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        chunks = [todo[i:i + self.batch_size]
+                  for i in range(0, len(todo), self.batch_size)]
+        with ThreadPoolExecutor(1, "eval-prefetch") as prefetch, \
+                ThreadPoolExecutor(1, "eval-writer") as writer:
+            pending = prefetch.submit(load_chunk, chunks[0]) if chunks else None
+            writes: list = []
+            for ci in range(len(chunks)):
+                images, names = pending.result()
+                pending = (prefetch.submit(load_chunk, chunks[ci + 1])
+                           if ci + 1 < len(chunks) else None)
+                if not images:
+                    continue
+                t0 = time.time()
+                batch = np.stack(images)
+                key = jax.random.key(int(rng.integers(0, 2**31)))
+                try:
+                    res = self.solver.evaluate(self.params, batch, key)
+                except Exception as e:
+                    self.err_logger.error(
+                        f"Batch solve failed ({names[0]}...): {e}")
+                    continue
+                elapsed = time.time() - t0
+                per_item = elapsed / len(names)
+                writes.append(writer.submit(write_results, names, batch, res,
+                                            per_item))
+                for i, n in enumerate(names):
+                    state.processed.add(n)
+                    state.puzzle_correct += int(res.puzzle_correct[i])
+                    state.patch_matches += int(res.patch_matches[i])
+                    state.count += 1
+                    done_this_run += 1
+                pa, ta = state.accuracy(p)
+                self.logger.info(
+                    f"{state.count} done | batch {len(names)} in {elapsed:.2f}s "
+                    f"({len(names) / elapsed:.2f} puzzles/s) | running "
+                    f"puzzleAcc={pa:.4f} patchAcc={ta:.4f}")
+            for w in writes:
+                w.result()  # surface writer exceptions; all rows persisted
 
         total = time.time() - start
         pa, ta = state.accuracy(p)
@@ -201,8 +231,17 @@ class EvalHarness:
         index = {n: i for i, n in enumerate(names)}  # full names: no
         # basename collapsing (class dirs reuse basenames)
 
-        def loader(path):
-            return dataset[index[path]]
+        if getattr(dataset, "cues", None) == "waves":
+            # Synthesize the whole set on device up front (seconds) instead
+            # of ~60 ms/item of host sin() inside the eval loop.
+            arr = np.asarray(dataset.device_generate_all(),
+                             dtype=np.float32)
+
+            def loader(path):
+                return arr[index[path]]
+        else:
+            def loader(path):
+                return dataset[index[path]]
 
         return self.run_paths(list(names), loader=loader, limit=limit)
 

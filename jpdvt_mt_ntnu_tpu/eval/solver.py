@@ -199,6 +199,10 @@ class PuzzleSolver:
         if self.assignment_method == "hungarian":
             from ..ops import native
 
+            # Same mesh-sharded device path as greedy (scramble + solve are
+            # one sharded program each); only the assignment itself runs on
+            # host, batched through the C++ solver in ONE call.
+            x, indices = self._place(x, indices)
             x_scr = self._scramble(x, indices)
             _, dist = self._solve_codes(params, x_scr)
             pred = np.asarray(native.hungarian_permutation(np.asarray(dist)),

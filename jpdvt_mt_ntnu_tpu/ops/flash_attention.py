@@ -303,11 +303,14 @@ def _flash_bwd(q, k, v, o, lse, do, block_q: int, block_k: int,
 # ---------------------------------------------------------------------------
 
 
-def _pick_block(n: int, requested: int) -> int:
+def _pick_block(n: int, requested: int, dtype=None) -> int:
     """Largest tile <= requested that is sublane-aligned; tiny sequences
-    run as a single block."""
+    run as a single block. Sub-fp32 dtypes need (16, 128) native tiles on
+    TPU, so bf16/fp16 round up to 16 sublanes (a forced flash call at e.g.
+    N=136 bf16 would otherwise fail to lower on hardware)."""
+    sub = 8 if dtype is None or jnp.dtype(dtype).itemsize >= 4 else 16
     if n <= requested:
-        return max(8, -(-n // 8) * 8)  # round up to sublane multiple
+        return max(sub, -(-n // sub) * sub)
     return requested
 
 
@@ -329,8 +332,8 @@ def flash_attention(q, k, v, block_q: int = BLOCK_Q, block_k: int = BLOCK_K,
     no mask, no dropout) with O(N) memory — use for sequences past the
     whole-row kernels' ~1.3k-token VMEM cap. Differentiable (FA2 backward).
     """
-    bq = _pick_block(q.shape[2], block_q)
-    bk = _pick_block(k.shape[2], block_k)
+    bq = _pick_block(q.shape[2], block_q, q.dtype)
+    bk = _pick_block(k.shape[2], block_k, k.dtype)
     o, _ = _flash_fwd(q, k, v, bq, bk, False, interpret)
     return o
 
@@ -352,16 +355,16 @@ def fused_qkv_flash_attention(qkv, num_heads: int, interpret: bool = False):
 
 
 def _flash_vjp_fwd(q, k, v, block_q, block_k, interpret):
-    bq = _pick_block(q.shape[2], block_q)
-    bk = _pick_block(k.shape[2], block_k)
+    bq = _pick_block(q.shape[2], block_q, q.dtype)
+    bk = _pick_block(k.shape[2], block_k, k.dtype)
     o, lse = _flash_fwd(q, k, v, bq, bk, True, interpret)
     return o, (q, k, v, o, lse)
 
 
 def _flash_vjp_bwd(block_q, block_k, interpret, res, do):
     q, k, v, o, lse = res
-    bq = _pick_block(q.shape[2], block_q)
-    bk = _pick_block(k.shape[2], block_k)
+    bq = _pick_block(q.shape[2], block_q, q.dtype)
+    bk = _pick_block(k.shape[2], block_k, k.dtype)
     return _flash_bwd(q, k, v, o, lse, do, bq, bk, interpret)
 
 

@@ -45,6 +45,11 @@ def init_compilation_cache(path: str | None = None) -> None:
     platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
     if platforms.startswith("cpu"):
         return
+    if not platforms and "JPDVT_COMPILE_CACHE" not in os.environ:
+        # Unset platforms (bare dev box): the backend would resolve to
+        # CPU, re-triggering the warning flood above. Opt in explicitly
+        # via $JPDVT_COMPILE_CACHE on such machines.
+        return
     path = path or os.environ.get(
         "JPDVT_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "jpdvt_xla"))

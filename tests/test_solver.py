@@ -156,3 +156,26 @@ def test_microbatch_auto_rules():
     assert solver._resolve_microbatch(32) == 0      # not larger than cap
     assert solver._resolve_microbatch(128) == 32    # chunks of 32
     assert solver._resolve_microbatch(100) == 0     # not divisible -> off
+
+
+def test_hungarian_mesh_sharded_matches_greedy():
+    """Round 3: the hungarian path goes through the same mesh-sharded
+    placement as greedy (no unsharded side path) and agrees with it on
+    unambiguous oracle distances."""
+    from jpdvt_mt_ntnu_tpu.parallel import MeshSpec, make_mesh
+
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    _, cfg = create_model("JPDVT", input_size=48, depth=1, hidden_size=32,
+                          num_heads=2, attn_impl="xla")
+    x = _slot_images(16, 48, 3)
+    res = {}
+    for method in ("greedy", "hungarian"):
+        solver = PuzzleSolver(_OracleModel(cfg, 3), cfg,
+                              create_diffusion("10"), grid_size=3,
+                              mode="fast", mesh=mesh,
+                              assignment_method=method)
+        res[method] = solver.evaluate(None, x, jax.random.key(4))
+        assert res[method].puzzle_accuracy == 1.0, method
+    np.testing.assert_array_equal(res["hungarian"].pred, res["greedy"].pred)
+    np.testing.assert_array_equal(res["hungarian"].indices,
+                                  res["greedy"].indices)
