@@ -195,45 +195,52 @@ def _heads_per_block(d: int) -> int:
     return 1  # requires d % 128 == 0 (checked by caller)
 
 
-def _qkv_attn_kernel(qkv_ref, o_ref, *, scale: float, d: int, hpb: int):
-    for i in range(hpb):
-        sl = slice(i * d, (i + 1) * d)
-        q = qkv_ref[0, :, 0, sl] * scale      # input dtype on the MXU,
-        k = qkv_ref[0, :, 1, sl]              # fp32 accumulation below
-        v = qkv_ref[0, :, 2, sl]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+def _qkv_attn_kernel(qkv_ref, o_ref, *, scale: float, d: int, hpb: int,
+                     bb: int = 1):
+    for b in range(bb):
+        for i in range(hpb):
+            sl = slice(i * d, (i + 1) * d)
+            q = qkv_ref[b, :, 0, sl] * scale  # input dtype on the MXU,
+            k = qkv_ref[b, :, 1, sl]          # fp32 accumulation below
+            v = qkv_ref[b, :, 2, sl]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            o = jnp.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+            o_ref[b, :, sl] = o.astype(o_ref.dtype)
 
 
 def _qkv_attn_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, scale: float,
-                         d: int, hpb: int):
-    for i in range(hpb):
-        sl = slice(i * d, (i + 1) * d)
-        q = qkv_ref[0, :, 0, sl] * scale      # input dtype on the MXU,
-        k = qkv_ref[0, :, 1, sl]              # fp32 softmax/accumulation
-        v = qkv_ref[0, :, 2, sl]
-        do = do_ref[0, :, sl]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        pc = p.astype(v.dtype)
-        dv = jnp.dot(pc.T, do, preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dsc = ds.astype(q.dtype)
-        dq = jnp.dot(dsc, k, preferred_element_type=jnp.float32) * scale
-        dk = jnp.dot(dsc.T, q, preferred_element_type=jnp.float32)
-        dqkv_ref[0, :, 0, sl] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, 1, sl] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, 2, sl] = dv.astype(dqkv_ref.dtype)
+                         d: int, hpb: int, bb: int = 1):
+    for b in range(bb):
+        for i in range(hpb):
+            sl = slice(i * d, (i + 1) * d)
+            q = qkv_ref[b, :, 0, sl] * scale  # input dtype on the MXU,
+            k = qkv_ref[b, :, 1, sl]          # fp32 softmax/accumulation
+            v = qkv_ref[b, :, 2, sl]
+            do = do_ref[b, :, sl]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            pc = p.astype(v.dtype)
+            dv = jnp.dot(pc.T, do, preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dsc = ds.astype(q.dtype)
+            dq = jnp.dot(dsc, k, preferred_element_type=jnp.float32) * scale
+            dk = jnp.dot(dsc.T, q, preferred_element_type=jnp.float32)
+            dqkv_ref[b, :, 0, sl] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[b, :, 1, sl] = dk.astype(dqkv_ref.dtype)
+            dqkv_ref[b, :, 2, sl] = dv.astype(dqkv_ref.dtype)
 
 
 def _qkv_geometry(f: int, num_heads: int):
@@ -249,26 +256,41 @@ def _qkv_geometry(f: int, num_heads: int):
     return d, hpb
 
 
-def _qkv_specs(n: int, d: int, hpb: int):
+def _qkv_specs(n: int, d: int, hpb: int, bb: int):
     w = d * hpb
-    qkv_spec = pl.BlockSpec((1, n, 3, w), lambda b, g: (b, 0, 0, g),
+    qkv_spec = pl.BlockSpec((bb, n, 3, w), lambda b, g: (b, 0, 0, g),
                             memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((1, n, w), lambda b, g: (b, 0, g),
+    o_spec = pl.BlockSpec((bb, n, w), lambda b, g: (b, 0, g),
                           memory_space=pltpu.VMEM)
     return qkv_spec, o_spec
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
-def _fused_qkv_attention_fwd(qkv, num_heads, interpret=False):
+def _batch_block(b: int, n: int, bb: int | None) -> int:
+    """Batch items packed per program. At JPDVT's tiny sequence lengths the
+    per-program launch overhead dominates one head-pair of MXU work, so
+    multiple batch items share a program. ``None`` auto-picks the largest
+    block that divides the batch (tuned by tools/bench_attention.py); VMEM
+    caps the block for long sequences (n > 512 -> whole-row blocks already
+    fill VMEM)."""
+    if bb is None:
+        bb = 8 if n <= 384 else (2 if n <= 768 else 1)
+    while b % bb:
+        bb //= 2
+    return max(bb, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret", "bb"))
+def _fused_qkv_attention_fwd(qkv, num_heads, interpret=False, bb=None):
     b, n, f = qkv.shape
     d, hpb = _qkv_geometry(f, num_heads)
+    bb = _batch_block(b, n, bb)
     scale = d ** -0.5
     qkv4 = qkv.reshape(b, n, 3, num_heads * d)
-    qkv_spec, o_spec = _qkv_specs(n, d, hpb)
+    qkv_spec, o_spec = _qkv_specs(n, d, hpb, bb)
     return pl.pallas_call(
-        functools.partial(_qkv_attn_kernel, scale=scale, d=d, hpb=hpb),
+        functools.partial(_qkv_attn_kernel, scale=scale, d=d, hpb=hpb, bb=bb),
         out_shape=jax.ShapeDtypeStruct((b, n, num_heads * d), qkv.dtype),
-        grid=(b, num_heads // hpb),
+        grid=(b // bb, num_heads // hpb),
         in_specs=[qkv_spec],
         out_specs=o_spec,
         interpret=interpret,
@@ -280,17 +302,20 @@ def _fused_qkv_attention_fwd(qkv, num_heads, interpret=False):
     )(qkv4)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
-def _fused_qkv_attention_bwd_impl(qkv, do, num_heads, interpret=False):
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret", "bb"))
+def _fused_qkv_attention_bwd_impl(qkv, do, num_heads, interpret=False,
+                                  bb=None):
     b, n, f = qkv.shape
     d, hpb = _qkv_geometry(f, num_heads)
+    bb = _batch_block(b, n, bb)
     scale = d ** -0.5
     qkv4 = qkv.reshape(b, n, 3, num_heads * d)
-    qkv_spec, o_spec = _qkv_specs(n, d, hpb)
+    qkv_spec, o_spec = _qkv_specs(n, d, hpb, bb)
     dqkv = pl.pallas_call(
-        functools.partial(_qkv_attn_bwd_kernel, scale=scale, d=d, hpb=hpb),
+        functools.partial(_qkv_attn_bwd_kernel, scale=scale, d=d, hpb=hpb,
+                          bb=bb),
         out_shape=jax.ShapeDtypeStruct((b, n, 3, num_heads * d), qkv.dtype),
-        grid=(b, num_heads // hpb),
+        grid=(b // bb, num_heads // hpb),
         in_specs=[qkv_spec, o_spec],
         out_specs=qkv_spec,
         interpret=interpret,
@@ -298,30 +323,33 @@ def _fused_qkv_attention_bwd_impl(qkv, do, num_heads, interpret=False):
     return dqkv.reshape(b, n, f)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _fused_qkv_attention_pallas(qkv, num_heads: int, interpret: bool = False):
-    return _fused_qkv_attention_fwd(qkv, num_heads, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _fused_qkv_attention_pallas(qkv, num_heads: int, interpret: bool = False,
+                                bb: int | None = None):
+    return _fused_qkv_attention_fwd(qkv, num_heads, interpret, bb)
 
 
-def fused_qkv_attention(qkv, num_heads: int, interpret: bool = False):
+def fused_qkv_attention(qkv, num_heads: int, interpret: bool = False,
+                        bb: int | None = None):
     """Attention straight from the fused qkv projection.
 
     qkv: (B, N, 3*H*Dh) in [q|k|v][head][dim] feature order ->
     (B, N, H*Dh). Pallas when the head layout forms Mosaic-legal blocks,
-    transparent XLA fallback otherwise.
+    transparent XLA fallback otherwise. ``bb`` packs several batch items
+    per program (None = measured auto, see _batch_block).
     """
     _, hpb = _qkv_geometry(qkv.shape[-1], num_heads)
     if hpb is None:
         return fused_qkv_attention_xla(qkv, num_heads)
-    return _fused_qkv_attention_pallas(qkv, num_heads, interpret)
+    return _fused_qkv_attention_pallas(qkv, num_heads, interpret, bb)
 
 
-def _fqa_fwd(qkv, num_heads, interpret):
-    return _fused_qkv_attention_fwd(qkv, num_heads, interpret), qkv
+def _fqa_fwd(qkv, num_heads, interpret, bb):
+    return _fused_qkv_attention_fwd(qkv, num_heads, interpret, bb), qkv
 
 
-def _fqa_bwd(num_heads, interpret, qkv, do):
-    return (_fused_qkv_attention_bwd_impl(qkv, do, num_heads, interpret),)
+def _fqa_bwd(num_heads, interpret, bb, qkv, do):
+    return (_fused_qkv_attention_bwd_impl(qkv, do, num_heads, interpret, bb),)
 
 
 _fused_qkv_attention_pallas.defvjp(_fqa_fwd, _fqa_bwd)

@@ -49,3 +49,23 @@ def test_fused_backward_matches_xla():
     out = g(fused_qkv_attention, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("bb", [1, 2, 4])
+def test_batch_packed_matches_xla(bb):
+    """Round 3: several batch items per program (the launch-overhead fix
+    for tiny N) — forward and backward vs the XLA oracle, incl. a batch
+    size the block doesn't divide (auto-halves)."""
+    for b in (4, 6):
+        qkv = _qkv(b=b, n=48, h=4, d=32, key=bb * 10 + b)
+        ref = fused_qkv_attention_xla(qkv, 4)
+        out = fused_qkv_attention(qkv, 4, True, bb=bb)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-3, atol=2e-4)
+        do = jax.random.normal(jax.random.key(99), ref.shape)
+        g_ref = jax.grad(lambda a: jnp.sum(
+            fused_qkv_attention_xla(a, 4) * do))(qkv)
+        g = jax.grad(lambda a: jnp.sum(
+            fused_qkv_attention(a, 4, True, bb=bb) * do))(qkv)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=1e-3, atol=2e-4)

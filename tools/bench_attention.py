@@ -21,7 +21,10 @@ import time
 import jax
 import jax.numpy as jnp
 
-from jpdvt_mt_ntnu_tpu.ops.attention import _attention_pallas, _attention_xla
+from jpdvt_mt_ntnu_tpu.ops.attention import (_attention_pallas,
+                                              _attention_xla,
+                                              fused_qkv_attention,
+                                              fused_qkv_attention_xla)
 from jpdvt_mt_ntnu_tpu.ops.flash_attention import flash_attention
 
 ITERS = 50          # scan length inside one program
@@ -44,6 +47,16 @@ IMPLS = {
     "xla": _attention_xla,
     "pallas": lambda q, k, v: _attention_pallas(q, k, v),
     "flash": lambda q, k, v: flash_attention(q, k, v),
+}
+
+# Fused-qkv impls operate on the model's actual (B, N, 3F) layout — what
+# dit.py Attention really calls — including the batch-packed variants
+# (several batch items per program; the launch-overhead fix for tiny N).
+QKV_IMPLS = {
+    "fq_xla": lambda qkv, h: fused_qkv_attention_xla(qkv, h),
+    "fq_bb1": lambda qkv, h: fused_qkv_attention(qkv, h, bb=1),
+    "fq_bb4": lambda qkv, h: fused_qkv_attention(qkv, h, bb=4),
+    "fq_bb8": lambda qkv, h: fused_qkv_attention(qkv, h, bb=8),
 }
 
 
@@ -90,20 +103,99 @@ def bench_case(b, h, n, d, impl_name, grad):
         return msg
 
 
+def _loop_qkv(fn, h, grad):
+    """Chained scan over the fused-qkv layout: o is tiled back to 3F so the
+    value feeds forward and nothing is DCE'd."""
+    if grad:
+        def step(qkv, _):
+            def loss(x):
+                return jnp.sum(fn(x, h) ** 2)
+            g = jax.grad(loss)(qkv)
+            return qkv - 1e-6 * g, ()
+    else:
+        def step(qkv, _):
+            o = fn(qkv, h)
+            return jnp.concatenate([o, o, o], -1), ()
+
+    def run(qkv):
+        out, _ = jax.lax.scan(step, qkv, None, length=ITERS)
+        return out
+
+    return jax.jit(run)
+
+
+def bench_case_qkv(b, h, n, d, impl_name, grad):
+    fn = QKV_IMPLS[impl_name]
+    qkv = jax.random.normal(jax.random.key(0), (b, n, 3 * h * d),
+                            jnp.bfloat16)
+    try:
+        prog = _loop_qkv(fn, h, grad)
+        float(jnp.sum(prog(qkv)))
+        t0 = time.perf_counter()
+        out = qkv
+        for _ in range(REPEATS):
+            out = prog(out)
+        float(jnp.sum(out))
+        return (time.perf_counter() - t0) / (REPEATS * ITERS) * 1e6
+    except Exception as e:  # noqa: BLE001
+        msg = type(e).__name__
+        if "RESOURCE_EXHAUSTED" in str(e) or "exceeds" in str(e):
+            msg = "VMEM-OOM"
+        return msg
+
+
+def check_correctness(cases=CASES):
+    """Hardware validation of the fused-qkv kernels (fwd AND bwd) against
+    the XLA oracle at every geometry, incl. the 512-1296 routing window."""
+    for b, h, n, d in cases:
+        qkv = jax.random.normal(jax.random.key(1), (b, n, 3 * h * d),
+                                jnp.bfloat16)
+        ref_f = fused_qkv_attention_xla(qkv, h)
+        g_ref = jax.grad(lambda x: jnp.sum(
+            fused_qkv_attention_xla(x, h) ** 2))(qkv)
+        for name, fn in QKV_IMPLS.items():
+            if name == "fq_xla":
+                continue
+            try:
+                df = float(jnp.max(jnp.abs(
+                    (fn(qkv, h) - ref_f).astype(jnp.float32))))
+                g = jax.grad(lambda x: jnp.sum(fn(x, h) ** 2))(qkv)
+                dg = float(jnp.max(jnp.abs((g - g_ref).astype(jnp.float32))))
+                scale = float(jnp.max(jnp.abs(g_ref.astype(jnp.float32))))
+                status = "OK" if df < 0.1 and dg < 0.02 * max(scale, 1) else "MISMATCH"
+                print(f"check N={n:5d} {name}: fwd_maxdiff={df:.4f} "
+                      f"bwd_maxdiff={dg:.4f} (bwd_scale={scale:.1f}) {status}",
+                      flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"check N={n:5d} {name}: {type(e).__name__}", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fwd-only", action="store_true")
     ap.add_argument("--csv", default=None)
+    ap.add_argument("--check", action="store_true",
+                    help="validate fused-qkv kernels vs the XLA oracle")
+    ap.add_argument("--qkv-only", action="store_true")
     args = ap.parse_args()
 
     print(f"backend={jax.default_backend()}", file=sys.stderr)
+    if args.check:
+        check_correctness()
+        return
     rows = []
     for grad in ([False] if args.fwd_only else [False, True]):
         tag = "fwd+bwd" if grad else "fwd"
         for b, h, n, d in CASES:
             line = [f"{tag} B={b} H={h} N={n} D={d}:"]
-            for name in IMPLS:
-                r = bench_case(b, h, n, d, name, grad)
+            if not args.qkv_only:
+                for name in IMPLS:
+                    r = bench_case(b, h, n, d, name, grad)
+                    val = f"{r:9.1f}us" if isinstance(r, float) else f"{r:>11}"
+                    line.append(f"{name}={val}")
+                    rows.append((tag, b, h, n, d, name, r))
+            for name in QKV_IMPLS:
+                r = bench_case_qkv(b, h, n, d, name, grad)
                 val = f"{r:9.1f}us" if isinstance(r, float) else f"{r:>11}"
                 line.append(f"{name}={val}")
                 rows.append((tag, b, h, n, d, name, r))
