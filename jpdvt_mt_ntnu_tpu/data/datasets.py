@@ -291,19 +291,21 @@ class SyntheticPuzzles:
         img = img / (xp.max(xp.abs(img)) + 1e-6)
         return xp.clip(img * 0.9, -1.0, 1.0)
 
-    def device_generate_all(self, batch: int = 512):
-        """Generate the whole ``waves`` dataset ON DEVICE as one jitted
-        program (bf16 output) — host synthesis of a 16k-image set costs
-        ~45 min on a 1-core VM; the device path takes seconds. Only the
-        tiny per-image parameter draws stay on host, so items match the
-        host ``__getitem__`` stream to fp32 rounding."""
+    def device_batcher(self):
+        """-> ``batch(indices) -> (len(indices), s, s, 3) bf16 device
+        array``: wave fields synthesized ON DEVICE in one jitted program
+        (host synthesis costs ~60 ms/item of sin() on a 1-core VM; the
+        device path is ~ms per batch). Only the tiny per-image parameter
+        draws stay on host, so items match the host ``__getitem__`` stream
+        to fp32 rounding. ``_wave_params`` accepts ANY index, so callers
+        may stream never-repeating fresh items (run_train
+        data.device_stream) — an infinite-data regime no finite archive
+        can offer, which removes memorization as a failure mode."""
         import jax
         import jax.numpy as jnp
 
         if self.cues != "waves":
             raise NotImplementedError("device generation is waves-only")
-        ps = [self._wave_params(i) for i in range(self.n)]
-        th, f, ph, amp = (np.stack([p[j] for p in ps]) for j in range(4))
         s = self.image_size
         grid = np.mgrid[0:s, 0:s].astype(np.float32) / s
         yy, xx = jnp.asarray(grid[0]), jnp.asarray(grid[1])
@@ -314,12 +316,21 @@ class SyntheticPuzzles:
                 *args, xx, yy, xp=jnp).astype(jnp.bfloat16)
             return jax.lax.map(mk, (th, f, ph, amp))
 
-        n_pad = (-self.n) % batch
-        arrs = [jnp.asarray(np.concatenate([a, a[:n_pad]]) if n_pad else a)
-                for a in (th, f, ph, amp)]
-        chunks = [gen(*(a[i * batch:(i + 1) * batch] for a in arrs))
-                  for i in range((self.n + n_pad) // batch)]
-        return jnp.concatenate(chunks)[:self.n]
+        def batch(indices):
+            ps = [self._wave_params(i) for i in indices]
+            th, f, ph, amp = (np.stack([p[j] for p in ps]) for j in range(4))
+            return gen(th, f, ph, amp)
+
+        return batch
+
+    def device_generate_all(self, batch: int = 512):
+        """Whole-dataset device synthesis (chunked ``device_batcher``)."""
+        import jax.numpy as jnp
+
+        gen = self.device_batcher()
+        chunks = [gen(range(i, min(i + batch, self.n)))
+                  for i in range(0, self.n, batch)]
+        return jnp.concatenate(chunks) if len(chunks) > 1 else chunks[0]
 
     def _generate(self, i: int) -> np.ndarray:
         rng = np.random.default_rng(self.seed * 1000003 + i)

@@ -214,7 +214,16 @@ def main(argv=None) -> int:
     rng = jax.random.key(cfg.train.global_seed)
 
     device_data = None
-    if cfg.data.device_cache:
+    stream_batcher = None
+    if cfg.data.device_stream:
+        ds = loader.dataset
+        if getattr(ds, "cues", None) != "waves":
+            raise NotImplementedError("data.device_stream is waves-only")
+        # Never-repeating stream: item index = global step counter * batch.
+        # Keep the index below the val set's parameter stream (seed 7 ->
+        # base 7,000,021 in _wave_params) so train and val never collide.
+        stream_batcher = ds.device_batcher()
+    elif cfg.data.device_cache:
         if jax.process_count() > 1:
             raise NotImplementedError(
                 "data.device_cache is a single-host optimization (the whole "
@@ -243,7 +252,20 @@ def main(argv=None) -> int:
         batch = jnp.where(fh, batch[:, :, ::-1], batch)
         return jnp.where(fv, batch[:, ::-1], batch)
 
+    # Stream cursor in ITEMS; resume continues the never-repeating stream
+    # where the checkpointed step left off.
+    stream_pos = [int(state.step) * cfg.data.global_batch_size]
+
     def epoch_batches(epoch: int):
+        if stream_batcher is not None:
+            from ..parallel import batch_sharding
+
+            b = cfg.data.global_batch_size
+            for _ in range(max(1, len(loader))):
+                lo, stream_pos[0] = stream_pos[0], stream_pos[0] + b
+                yield jax.device_put(stream_batcher(range(lo, lo + b)),
+                                     batch_sharding(mesh, 4))
+            return
         if device_data is None:
             loader.set_epoch(epoch)
             for batch in loader:

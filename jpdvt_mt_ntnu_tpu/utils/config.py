@@ -85,6 +85,11 @@ class DataConfig:
     # single piece carries zero position signal; only cross-piece field
     # inference places pieces).
     synthetic_cues: str = ""
+    # waves-only: synthesize a FRESH batch on device every step (infinite
+    # data — each image is ~10 wave parameters, so any finite cache is
+    # memorizable; streaming removes that failure mode). synthetic_n then
+    # only defines the nominal epoch length.
+    device_stream: bool = False
 
 
 @dataclasses.dataclass

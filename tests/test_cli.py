@@ -156,3 +156,26 @@ def test_config_overrides_and_errors():
         apply_overrides(Config(), ["train.nonexistent=1"])
     with pytest.raises(ValueError):
         apply_overrides(Config(), ["garbage"])
+
+
+def test_run_train_waves_device_stream(tmp_path, monkeypatch):
+    """waves + device_stream: fresh on-device batches every step (the
+    infinite-data regime), resume continues the stream cursor."""
+    monkeypatch.chdir(tmp_path)
+    from jpdvt_mt_ntnu_tpu.train.run_train import main
+
+    common = [
+        "data.dataset=synthetic", "data.synthetic_cues=waves",
+        "data.device_stream=true", "data.global_batch_size=8",
+        "data.synthetic_n=24", "data.num_workers=1",
+        "model.image_size=48", "model.depth=1", "model.hidden_size=32",
+        "model.num_heads=2", "model.attn_impl=xla",
+        "model.compute_dtype=float32",
+        "task.grid_size=3", "task.shared_perm=false",
+        "train.log_every=2", "train.ckpt_every=1000000",
+        f"train.exp_dir={tmp_path}/exp",
+        "diffusion.sampling_steps=2", "diffusion.sampler_mode=fast",
+    ]
+    assert main(common + ["train.epochs=1"]) == 0
+    assert main(common + ["train.epochs=1",
+                          f"train.resume={tmp_path}/exp/checkpoints"]) == 0
