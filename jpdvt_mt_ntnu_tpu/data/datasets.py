@@ -261,19 +261,27 @@ class SyntheticPuzzles:
         generators share one RNG stream; values then differ only at fp32
         rounding between numpy and XLA sin."""
         rng = np.random.default_rng(self.seed * 1000003 + i)
-        k = int(rng.integers(2, self._WAVES_MAX_K + 1))
-        # Orientations with pairwise separation >= 0.35 rad (mod pi):
+        # Mostly 2 components (3 at 30%): enough that the joint field is
+        # identifiable, few enough that it is inferable. Frequencies are
+        # ULTRA-low (0.25-1.0 cycles/image): the easiest draws are
+        # randomly-oriented near-linear ramps, which gives gradient descent
+        # a within-regime curriculum — the first waves parameterization
+        # (0.4-1.8, k up to 3) measured flat-at-chance at every timestep
+        # through 9k flagship steps, exactly like the round-2 stationary
+        # texture negative.
+        k = 2 + int(rng.random() < 0.3)
+        # Orientations with pairwise separation >= 0.5 rad (mod pi):
         # near-parallel components would leave near-identical pieces along
         # the shared wavefront (an unresolvable permutation ambiguity).
         while True:
             th = rng.uniform(0, np.pi, k)
             d = np.abs(th[:, None] - th[None, :])
             d = np.minimum(d, np.pi - d)
-            if k == 1 or np.all(d[np.triu_indices(k, 1)] >= 0.35):
+            if np.all(d[np.triu_indices(k, 1)] >= 0.5):
                 break
         pad = self._WAVES_MAX_K - k
         th = np.pad(th, (0, pad)).astype(np.float32)
-        f = np.pad(rng.uniform(0.4, 1.8, k), (0, pad)).astype(np.float32)
+        f = np.pad(rng.uniform(0.25, 1.0, k), (0, pad)).astype(np.float32)
         ph = np.pad(rng.uniform(0, 2 * np.pi, k), (0, pad)).astype(np.float32)
         amp = np.pad(rng.uniform(0.3, 1.0, (k, 3)),
                      ((0, pad), (0, 0))).astype(np.float32)
