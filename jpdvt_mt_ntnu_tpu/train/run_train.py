@@ -328,8 +328,14 @@ def main(argv=None) -> int:
             val_every = cfg.train.val_every or cfg.train.ckpt_every
             if step % val_every == 0:
                 val = validator(state.ema_params, val_ds)
-                logger.info(f"Validation: {val}")
-                writer.log(val, step)
+                # EMA decay .9999 needs ~20k steps to converge to the
+                # trained function; early-run EMA solves are near-init
+                # garbage. Validate the RAW weights too so fast-converging
+                # runs aren't misread as failures (same compiled program).
+                raw = {f"raw_{k}": v
+                       for k, v in validator(state.params, val_ds).items()}
+                logger.info(f"Validation: {val} | raw: {raw}")
+                writer.log({**val, **raw}, step)
                 # Don't bill validation time to steps/s: flush the loss
                 # window along with the clock, else the next log divides a
                 # full window's steps by only the post-validation elapsed.
