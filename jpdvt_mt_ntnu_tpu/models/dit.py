@@ -116,12 +116,30 @@ class Mlp(nn.Module):
                         param_dtype=self.param_dtype, name="fc2")(x)
 
 
+class _LinearParams(nn.Module):
+    """Bare Dense parameters (kernel + bias) without the matmul, so custom
+    kernels can consume them directly. Same init and pytree paths as the
+    nn.Dense modules they replace (attn/{qkv,proj}/{kernel,bias})."""
+
+    features_in: int
+    features_out: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", _xavier,
+                       (self.features_in, self.features_out), self.param_dtype)
+        b = self.param("bias", _zeros, (self.features_out,), self.param_dtype)
+        return k, b
+
+
 class Attention(nn.Module):
     """timm-compatible MHA: fused qkv projection + output projection.
 
-    Runs attention straight off the fused qkv features (no head-layout
-    transposes — those cost more than the attention math at JPDVT sizes;
-    see ops/attention.py fused_qkv_attention).
+    Implementations (ops/attention.py): "block" runs the WHOLE sublayer
+    (qkv proj + MHA + out proj) as one Pallas program with zero HBM
+    intermediates; "pallas"/"flash" run Pallas attention kernels between
+    XLA projections; "xla" is the einsum oracle.
     """
 
     hidden_size: int
@@ -132,13 +150,26 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.attention import (default_impl, fused_qkv_attention,
+        from ..ops.attention import (default_impl, dense_to_block_weights,
+                                     fused_attention_block,
+                                     fused_qkv_attention,
                                      fused_qkv_attention_xla)
 
-        qkv = nn.Dense(3 * self.hidden_size, kernel_init=_xavier,
-                       dtype=self.dtype, param_dtype=self.param_dtype,
-                       name="qkv")(x)
+        dt = self.dtype
+        qkv_k, qkv_b = _LinearParams(self.hidden_size, 3 * self.hidden_size,
+                                     self.param_dtype, name="qkv")()
+        proj_k, proj_b = _LinearParams(self.hidden_size, self.hidden_size,
+                                       self.param_dtype, name="proj")()
         impl = self.attn_impl or default_impl(x.shape[1])
+        if impl in ("block", "block_interpret"):
+            wq, bq, wp, bp = dense_to_block_weights(
+                qkv_k.astype(dt), qkv_b.astype(jnp.float32),
+                proj_k.astype(dt), proj_b.astype(jnp.float32),
+                self.num_heads)
+            return fused_attention_block(
+                x.astype(dt), wq, bq, wp, bp, self.num_heads,
+                impl == "block_interpret", None).astype(dt)
+        qkv = x.astype(dt) @ qkv_k.astype(dt) + qkv_b.astype(dt)
         if impl == "pallas":
             o = fused_qkv_attention(qkv, self.num_heads)
         elif impl == "interpret":
@@ -149,8 +180,7 @@ class Attention(nn.Module):
             o = fused_qkv_flash_attention(qkv, self.num_heads)
         else:
             o = fused_qkv_attention_xla(qkv, self.num_heads)
-        return nn.Dense(self.hidden_size, kernel_init=_xavier, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="proj")(o)
+        return o @ proj_k.astype(dt) + proj_b.astype(dt)
 
 
 class DiTBlock(nn.Module):

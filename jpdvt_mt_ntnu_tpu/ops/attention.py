@@ -175,184 +175,188 @@ def default_impl(n_tokens: int | None = None) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Fused-qkv attention: no head transposes.
+# Fused-qkv attention (row-kernel route) and the fused attention BLOCK.
 #
-# The (B, N, 3, H, Dh) -> (B, H, N, Dh) reshuffle around a conventional
-# attention call costs more than the attention math itself at JPDVT's sizes
-# (measured: ~38% of a solve step for ~3% of FLOPs). These kernels read the
-# head slices DIRECTLY out of the fused qkv projection output
-# (B, N, 3*H*Dh; feature layout [q|k|v][head][dim], the timm/torch layout)
-# via BlockSpec column indexing, and write the output back in (B, N, H*Dh)
-# layout — zero layout-change ops in XLA.
+# Hardware lesson (round 3): Mosaic cannot collapse MIDDLE unit dims of a
+# block (e.g. (bb, n, 1, d) -> (n, d) is an "unsupported shape cast"), and
+# lane slices must be 128-aligned — so attention kernels that read head
+# slices directly out of a (B, N, features) layout can NEVER lower on TPU,
+# no matter how the heads are packed (the round-2 fused-qkv kernels only
+# ever ran in interpret mode). Two designs that DO lower:
+#
+# 1. fused_qkv_attention: (B,N,3F) -> (B,H,N,Dh) transposes around the
+#    validated whole-row kernels (_attention_pallas). The transposes cost
+#    HBM traffic; measured per-geometry in tools/bench_attention.py.
+# 2. fused_attention_block: the ENTIRE attention sublayer (qkv projection
+#    + per-head attention + output projection) as ONE kernel. Weights are
+#    pre-laid out as (3H, D, d)/(H, d, D) so every in-kernel head slice is
+#    a LEADING-dim collapse (legal for any head_dim), and no score matrix,
+#    qkv tensor, or per-head output ever touches HBM — the design target
+#    for JPDVT's tiny sequences where XLA is bandwidth-bound on exactly
+#    those intermediates.
 # ---------------------------------------------------------------------------
 
 
-def _heads_per_block(d: int) -> int:
-    """Heads packed per program so the block's lane dim is 128-aligned
-    (Mosaic requires last-dim blocks divisible by 128 or full-size)."""
-    if 128 % d == 0:
-        return 128 // d
-    return 1  # requires d % 128 == 0 (checked by caller)
+def fused_qkv_attention(qkv, num_heads: int, interpret: bool = False,
+                        bb: int | None = None):
+    """Attention from the fused qkv projection output.
+
+    qkv: (B, N, 3*H*Dh) in [q|k|v][head][dim] feature order ->
+    (B, N, H*Dh), via explicit head transposes + the whole-row Pallas
+    kernels (fwd + fused bwd). ``bb`` is accepted for API compatibility
+    and ignored (batch packing lives in fused_attention_block)."""
+    b, n, f = qkv.shape
+    d = f // (3 * num_heads)
+    q, k, v = (jnp.moveaxis(a.reshape(b, n, num_heads, d), 2, 1)
+               for a in jnp.split(qkv, 3, axis=-1))
+    o = _attention_pallas(q, k, v, interpret)
+    return jnp.moveaxis(o, 1, 2).reshape(b, n, num_heads * d)
 
 
-def _qkv_attn_kernel(qkv_ref, o_ref, *, scale: float, d: int, hpb: int,
-                     bb: int = 1):
+def _attn_block_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                       o_ref, *, scale: float, heads: int, bb: int):
+    """One program = ``bb`` batch items through the full attention
+    sublayer. x_ref: (bb, n, D); wqkv_ref: (3H, D, d) (q rows 0..H-1, k
+    rows H..2H-1, v rows 2H..3H-1); bqkv_ref: (3H, 1, d); wproj_ref:
+    (H, d, D); bproj_ref: (1, D); o_ref: (bb, n, D)."""
     for b in range(bb):
-        for i in range(hpb):
-            sl = slice(i * d, (i + 1) * d)
-            q = qkv_ref[b, :, 0, sl] * scale  # input dtype on the MXU,
-            k = qkv_ref[b, :, 1, sl]          # fp32 accumulation below
-            v = qkv_ref[b, :, 2, sl]
+        x = x_ref[b]                                     # (n, D)
+        acc = jnp.zeros(o_ref.shape[1:], jnp.float32)    # (n, D)
+        for h in range(heads):
+            def proj(j):
+                y = jnp.dot(x, wqkv_ref[j],
+                            preferred_element_type=jnp.float32)
+                return (y + bqkv_ref[j]).astype(x.dtype)  # (n, d)
+            q = proj(h) * scale
+            k = proj(heads + h)
+            v = proj(2 * heads + h)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32)       # (n, n) fp32
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
             p = e / jnp.sum(e, axis=-1, keepdims=True)
             o = jnp.dot(p.astype(v.dtype), v,
                         preferred_element_type=jnp.float32)
-            o_ref[b, :, sl] = o.astype(o_ref.dtype)
+            acc = acc + jnp.dot(o.astype(x.dtype), wproj_ref[h],
+                                preferred_element_type=jnp.float32)
+        o_ref[b] = (acc + bproj_ref[...]).astype(o_ref.dtype)
 
 
-def _qkv_attn_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, scale: float,
-                         d: int, hpb: int, bb: int = 1):
-    for b in range(bb):
-        for i in range(hpb):
-            sl = slice(i * d, (i + 1) * d)
-            q = qkv_ref[b, :, 0, sl] * scale  # input dtype on the MXU,
-            k = qkv_ref[b, :, 1, sl]          # fp32 softmax/accumulation
-            v = qkv_ref[b, :, 2, sl]
-            do = do_ref[b, :, sl]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)
-            pc = p.astype(v.dtype)
-            dv = jnp.dot(pc.T, do, preferred_element_type=jnp.float32)
-            dp = jax.lax.dot_general(
-                do, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-            dsc = ds.astype(q.dtype)
-            dq = jnp.dot(dsc, k, preferred_element_type=jnp.float32) * scale
-            dk = jnp.dot(dsc.T, q, preferred_element_type=jnp.float32)
-            dqkv_ref[b, :, 0, sl] = dq.astype(dqkv_ref.dtype)
-            dqkv_ref[b, :, 1, sl] = dk.astype(dqkv_ref.dtype)
-            dqkv_ref[b, :, 2, sl] = dv.astype(dqkv_ref.dtype)
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom of the ~16 MB per core
 
 
-def _qkv_geometry(f: int, num_heads: int):
-    """-> (head_dim, heads_per_block) or (head_dim, None) if the layout
-    cannot form a Mosaic-legal block (callers fall back to XLA)."""
-    d = f // (3 * num_heads)
-    hpb = min(_heads_per_block(d), num_heads)
-    while hpb > 1 and num_heads % hpb:
-        hpb -= 1
-    w = d * hpb
-    if w % 128 and w != num_heads * d:
-        return d, None
-    return d, hpb
+def _block_vmem(bb, n, heads, d, hidden, itemsize) -> int:
+    weights = (3 * heads * hidden * d + heads * d * hidden) * itemsize
+    blocks = 2 * bb * n * hidden * itemsize        # x + out
+    work = n * hidden * 4 + 3 * n * n * 4          # fp32 acc + score temps
+    return weights + blocks + work
 
 
-def _qkv_specs(n: int, d: int, hpb: int, bb: int):
-    w = d * hpb
-    qkv_spec = pl.BlockSpec((bb, n, 3, w), lambda b, g: (b, 0, 0, g),
-                            memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((bb, n, w), lambda b, g: (b, 0, g),
-                          memory_space=pltpu.VMEM)
-    return qkv_spec, o_spec
-
-
-def _batch_block(b: int, n: int, bb: int | None) -> int:
-    """Batch items packed per program. At JPDVT's tiny sequence lengths the
-    per-program launch overhead dominates one head-pair of MXU work, so
-    multiple batch items share a program. ``None`` auto-picks the largest
-    block that divides the batch (tuned by tools/bench_attention.py); VMEM
-    caps the block for long sequences (n > 512 -> whole-row blocks already
-    fill VMEM)."""
+def _block_bb(b: int, n: int, heads: int, d: int, hidden: int,
+              itemsize: int, bb: int | None) -> int | None:
+    """Batch items per program: amortize launch overhead under a VMEM
+    budget (weights are grid-invariant, fetched once)."""
     if bb is None:
-        bb = 8 if n <= 384 else (2 if n <= 768 else 1)
+        bb = 8 if n <= 160 else (4 if n <= 384 else 1)
     while b % bb:
         bb //= 2
-    return max(bb, 1)
+    bb = max(bb, 1)
+    while bb > 1 and _block_vmem(bb, n, heads, d, hidden, itemsize) > _VMEM_BUDGET:
+        bb //= 2
+    if _block_vmem(bb, n, heads, d, hidden, itemsize) > _VMEM_BUDGET:
+        return None
+    return bb
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret", "bb"))
-def _fused_qkv_attention_fwd(qkv, num_heads, interpret=False, bb=None):
-    b, n, f = qkv.shape
-    d, hpb = _qkv_geometry(f, num_heads)
-    bb = _batch_block(b, n, bb)
+def _fused_attention_block_fwd(x, w_qkv, b_qkv, w_proj, b_proj, num_heads,
+                               interpret=False, bb=None):
+    b, n, hidden = x.shape
+    d = w_qkv.shape[-1]
+    bb = _block_bb(b, n, num_heads, d, hidden, x.dtype.itemsize, bb)
+    if bb is None:
+        return fused_attention_block_xla(x, w_qkv, b_qkv, w_proj, b_proj,
+                                         num_heads)
     scale = d ** -0.5
-    qkv4 = qkv.reshape(b, n, 3, num_heads * d)
-    qkv_spec, o_spec = _qkv_specs(n, d, hpb, bb)
+    full = lambda shape: pl.BlockSpec(  # noqa: E731 — grid-invariant block
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((bb, n, hidden), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_qkv_attn_kernel, scale=scale, d=d, hpb=hpb, bb=bb),
-        out_shape=jax.ShapeDtypeStruct((b, n, num_heads * d), qkv.dtype),
-        grid=(b // bb, num_heads // hpb),
-        in_specs=[qkv_spec],
-        out_specs=o_spec,
+        functools.partial(_attn_block_kernel, scale=scale, heads=num_heads,
+                          bb=bb),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b // bb,),
+        in_specs=[xspec, full(w_qkv.shape), full(b_qkv.shape),
+                  full(w_proj.shape), full(b_proj.shape)],
+        out_specs=xspec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * num_heads * (2 * n * n * d),
-            bytes_accessed=4 * b * n * f * qkv.dtype.itemsize,
+            flops=2 * b * n * hidden * (4 * num_heads * d)
+            + 4 * b * num_heads * n * n * d,
+            bytes_accessed=2 * b * n * hidden * x.dtype.itemsize,
             transcendentals=b * num_heads * n * n,
         ),
-    )(qkv4)
+    )(x, w_qkv, b_qkv, w_proj, b_proj)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret", "bb"))
-def _fused_qkv_attention_bwd_impl(qkv, do, num_heads, interpret=False,
-                                  bb=None):
-    b, n, f = qkv.shape
-    d, hpb = _qkv_geometry(f, num_heads)
-    bb = _batch_block(b, n, bb)
-    scale = d ** -0.5
-    qkv4 = qkv.reshape(b, n, 3, num_heads * d)
-    qkv_spec, o_spec = _qkv_specs(n, d, hpb, bb)
-    dqkv = pl.pallas_call(
-        functools.partial(_qkv_attn_bwd_kernel, scale=scale, d=d, hpb=hpb,
-                          bb=bb),
-        out_shape=jax.ShapeDtypeStruct((b, n, 3, num_heads * d), qkv.dtype),
-        grid=(b // bb, num_heads // hpb),
-        in_specs=[qkv_spec, o_spec],
-        out_specs=qkv_spec,
-        interpret=interpret,
-    )(qkv4, do)
-    return dqkv.reshape(b, n, f)
+def fused_attention_block_xla(x, w_qkv, b_qkv, w_proj, b_proj,
+                              num_heads: int):
+    """Reference implementation of the fused block in plain XLA ops,
+    numerically matching the kernel (bf16 operands, fp32 softmax)."""
+    q, k, v = (jnp.einsum("bnd,hdk->bhnk", x,
+                          w_qkv[i * num_heads:(i + 1) * num_heads])
+               + b_qkv[i * num_heads:(i + 1) * num_heads][None, :, 0, None, :]
+               for i in range(3))
+    o = _attention_xla(q.astype(x.dtype), k.astype(x.dtype),
+                       v.astype(x.dtype))
+    out = jnp.einsum("bhnk,hkd->bnd", o.astype(x.dtype), w_proj)
+    return (out + b_proj[0]).astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def _fused_qkv_attention_pallas(qkv, num_heads: int, interpret: bool = False,
-                                bb: int | None = None):
-    return _fused_qkv_attention_fwd(qkv, num_heads, interpret, bb)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_attention_block(x, w_qkv, b_qkv, w_proj, b_proj, num_heads: int,
+                          interpret: bool = False, bb: int | None = None):
+    """The whole attention sublayer (qkv proj + MHA + out proj) as one
+    Pallas program per ``bb`` batch items — zero HBM intermediates.
+
+    x: (B, N, D); w_qkv: (3H, D, Dh) with q rows 0..H-1, k rows H..2H-1,
+    v rows 2H..3H-1; b_qkv: (3H, 1, Dh); w_proj: (H, Dh, D); b_proj:
+    (1, D). Backward differentiates the XLA reference (the block is
+    inference-critical; training-path geometry routes are measured
+    separately)."""
+    return _fused_attention_block_fwd(x, w_qkv, b_qkv, w_proj, b_proj,
+                                      num_heads, interpret, bb)
 
 
-def fused_qkv_attention(qkv, num_heads: int, interpret: bool = False,
-                        bb: int | None = None):
-    """Attention straight from the fused qkv projection.
-
-    qkv: (B, N, 3*H*Dh) in [q|k|v][head][dim] feature order ->
-    (B, N, H*Dh). Pallas when the head layout forms Mosaic-legal blocks,
-    transparent XLA fallback otherwise. ``bb`` packs several batch items
-    per program (None = measured auto, see _batch_block).
-    """
-    _, hpb = _qkv_geometry(qkv.shape[-1], num_heads)
-    if hpb is None:
-        return fused_qkv_attention_xla(qkv, num_heads)
-    return _fused_qkv_attention_pallas(qkv, num_heads, interpret, bb)
+def _fab_fwd(x, w_qkv, b_qkv, w_proj, b_proj, num_heads, interpret, bb):
+    out = _fused_attention_block_fwd(x, w_qkv, b_qkv, w_proj, b_proj,
+                                     num_heads, interpret, bb)
+    return out, (x, w_qkv, b_qkv, w_proj, b_proj)
 
 
-def _fqa_fwd(qkv, num_heads, interpret, bb):
-    return _fused_qkv_attention_fwd(qkv, num_heads, interpret, bb), qkv
+def _fab_bwd(num_heads, interpret, bb, res, g):
+    x, w_qkv, b_qkv, w_proj, b_proj = res
+    _, vjp = jax.vjp(
+        lambda *a: fused_attention_block_xla(*a, num_heads), x, w_qkv,
+        b_qkv, w_proj, b_proj)
+    return vjp(g)
 
 
-def _fqa_bwd(num_heads, interpret, bb, qkv, do):
-    return (_fused_qkv_attention_bwd_impl(qkv, do, num_heads, interpret, bb),)
+fused_attention_block.defvjp(_fab_fwd, _fab_bwd)
 
 
-_fused_qkv_attention_pallas.defvjp(_fqa_fwd, _fqa_bwd)
+def dense_to_block_weights(qkv_kernel, qkv_bias, proj_kernel, proj_bias,
+                           num_heads: int):
+    """(D, 3F) timm-order Dense params -> the block kernel layouts."""
+    hidden = qkv_kernel.shape[0]
+    d = qkv_kernel.shape[1] // (3 * num_heads)
+    w_qkv = qkv_kernel.reshape(hidden, 3 * num_heads, d).transpose(1, 0, 2)
+    b_qkv = qkv_bias.reshape(3 * num_heads, 1, d)
+    w_proj = proj_kernel.reshape(num_heads, d, hidden)
+    b_proj = proj_bias.reshape(1, hidden)
+    return w_qkv, b_qkv, w_proj, b_proj
 
 
 def fused_qkv_attention_xla(qkv, num_heads: int):

@@ -15,14 +15,19 @@ Usage (needs the real TPU; keep it the only TPU process):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 
 from jpdvt_mt_ntnu_tpu.ops.attention import (_attention_pallas,
                                               _attention_xla,
+                                              fused_attention_block,
+                                              fused_attention_block_xla,
                                               fused_qkv_attention,
                                               fused_qkv_attention_xla)
 from jpdvt_mt_ntnu_tpu.ops.flash_attention import flash_attention
@@ -49,14 +54,31 @@ IMPLS = {
     "flash": lambda q, k, v: flash_attention(q, k, v),
 }
 
-# Fused-qkv impls operate on the model's actual (B, N, 3F) layout — what
-# dit.py Attention really calls — including the batch-packed variants
-# (several batch items per program; the launch-overhead fix for tiny N).
+# Sublayer-level impls: the WHOLE attention sublayer (qkv projection +
+# MHA + output projection) on the model's real (B, N, D) activations —
+# what dit.py Attention actually computes. "sub_xla" is XLA's fused chain;
+# "blk_bbK" is the single-program Pallas block with K batch items packed
+# per program (ops/attention.fused_attention_block).
+def _sub_weights(h, d, hidden, dtype):
+    k = jax.random.split(jax.random.key(9), 4)
+    return (jax.random.normal(k[0], (3 * h, hidden, d), dtype) * 0.05,
+            jax.random.normal(k[1], (3 * h, 1, d), jnp.float32) * 0.05,
+            jax.random.normal(k[2], (h, d, hidden), dtype) * 0.05,
+            jax.random.normal(k[3], (1, hidden), jnp.float32) * 0.05)
+
+
+SUB_IMPLS = {
+    "sub_xla": lambda x, w, h: fused_attention_block_xla(x, *w, h),
+    "blk_bb1": lambda x, w, h: fused_attention_block(x, *w, h, False, 1),
+    "blk_bb2": lambda x, w, h: fused_attention_block(x, *w, h, False, 2),
+    "blk_bb4": lambda x, w, h: fused_attention_block(x, *w, h, False, 4),
+    "blk_bb8": lambda x, w, h: fused_attention_block(x, *w, h, False, 8),
+}
+
+# Row-route check: (B,N,3F) -> transposes + whole-row Pallas kernels.
 QKV_IMPLS = {
     "fq_xla": lambda qkv, h: fused_qkv_attention_xla(qkv, h),
-    "fq_bb1": lambda qkv, h: fused_qkv_attention(qkv, h, bb=1),
-    "fq_bb4": lambda qkv, h: fused_qkv_attention(qkv, h, bb=4),
-    "fq_bb8": lambda qkv, h: fused_qkv_attention(qkv, h, bb=8),
+    "fq_row": lambda qkv, h: fused_qkv_attention(qkv, h),
 }
 
 
@@ -144,30 +166,85 @@ def bench_case_qkv(b, h, n, d, impl_name, grad):
         return msg
 
 
+def bench_case_sub(b, h, n, d, impl_name, grad):
+    """Whole attention-sublayer chain on (B, N, D) activations."""
+    fn = SUB_IMPLS[impl_name]
+    hidden = h * d
+    x = jax.random.normal(jax.random.key(0), (b, n, hidden), jnp.bfloat16)
+    w = _sub_weights(h, d, hidden, jnp.bfloat16)
+    if grad:
+        def step(x_, _):
+            def loss(z):
+                return jnp.sum(fn(z, w, h) ** 2)
+            return x_ - 1e-6 * jax.grad(loss)(x_), ()
+    else:
+        def step(x_, _):
+            return fn(x_, w, h), ()
+
+    def run(x_):
+        out, _ = jax.lax.scan(step, x_, None, length=ITERS)
+        return out
+
+    try:
+        prog = jax.jit(run)
+        float(jnp.sum(prog(x)))
+        t0 = time.perf_counter()
+        out = x
+        for _ in range(REPEATS):
+            out = prog(out)
+        float(jnp.sum(out))
+        return (time.perf_counter() - t0) / (REPEATS * ITERS) * 1e6
+    except Exception as e:  # noqa: BLE001
+        msg = type(e).__name__
+        if "RESOURCE_EXHAUSTED" in str(e) or "exceeds" in str(e):
+            msg = "VMEM-OOM"
+        return msg
+
+
 def check_correctness(cases=CASES):
-    """Hardware validation of the fused-qkv kernels (fwd AND bwd) against
-    the XLA oracle at every geometry, incl. the 512-1296 routing window."""
+    """Hardware validation vs the XLA oracles at every geometry, incl. the
+    512-1296 routing window: the row route (transposes + whole-row Pallas,
+    fwd AND fused bwd) and the attention-block kernel (fwd; its bwd IS the
+    XLA reference by construction)."""
     for b, h, n, d in cases:
         qkv = jax.random.normal(jax.random.key(1), (b, n, 3 * h * d),
                                 jnp.bfloat16)
         ref_f = fused_qkv_attention_xla(qkv, h)
         g_ref = jax.grad(lambda x: jnp.sum(
             fused_qkv_attention_xla(x, h) ** 2))(qkv)
-        for name, fn in QKV_IMPLS.items():
-            if name == "fq_xla":
+        try:
+            df = float(jnp.max(jnp.abs(
+                (fused_qkv_attention(qkv, h) - ref_f).astype(jnp.float32))))
+            g = jax.grad(lambda x: jnp.sum(
+                fused_qkv_attention(x, h) ** 2))(qkv)
+            dg = float(jnp.max(jnp.abs((g - g_ref).astype(jnp.float32))))
+            scale = float(jnp.max(jnp.abs(g_ref.astype(jnp.float32))))
+            ok = df < 0.1 and dg < 0.02 * max(scale, 1)
+            print(f"check N={n:5d} fq_row: fwd_maxdiff={df:.4f} "
+                  f"bwd_maxdiff={dg:.4f} (bwd_scale={scale:.1f}) "
+                  f"{'OK' if ok else 'MISMATCH'}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"check N={n:5d} fq_row: {type(e).__name__}", flush=True)
+
+        hidden = h * d
+        x = jax.random.normal(jax.random.key(2), (b, n, hidden),
+                              jnp.bfloat16)
+        w = _sub_weights(h, d, hidden, jnp.bfloat16)
+        ref_b = fused_attention_block_xla(x, *w, h)
+        sc = float(jnp.max(jnp.abs(ref_b.astype(jnp.float32))))
+        for bb in (1, 2, 4, 8):
+            if b % bb:
                 continue
             try:
-                df = float(jnp.max(jnp.abs(
-                    (fn(qkv, h) - ref_f).astype(jnp.float32))))
-                g = jax.grad(lambda x: jnp.sum(fn(x, h) ** 2))(qkv)
-                dg = float(jnp.max(jnp.abs((g - g_ref).astype(jnp.float32))))
-                scale = float(jnp.max(jnp.abs(g_ref.astype(jnp.float32))))
-                status = "OK" if df < 0.1 and dg < 0.02 * max(scale, 1) else "MISMATCH"
-                print(f"check N={n:5d} {name}: fwd_maxdiff={df:.4f} "
-                      f"bwd_maxdiff={dg:.4f} (bwd_scale={scale:.1f}) {status}",
+                out = fused_attention_block(x, *w, h, False, bb)
+                db = float(jnp.max(jnp.abs((out - ref_b).astype(jnp.float32))))
+                ok = db < 0.05 * max(sc, 1)
+                print(f"check N={n:5d} blk_bb{bb}: fwd_maxdiff={db:.4f} "
+                      f"(scale={sc:.2f}) {'OK' if ok else 'MISMATCH'}",
                       flush=True)
             except Exception as e:  # noqa: BLE001
-                print(f"check N={n:5d} {name}: {type(e).__name__}", flush=True)
+                print(f"check N={n:5d} blk_bb{bb}: {type(e).__name__}",
+                      flush=True)
 
 
 def main():
@@ -177,8 +254,17 @@ def main():
     ap.add_argument("--check", action="store_true",
                     help="validate fused-qkv kernels vs the XLA oracle")
     ap.add_argument("--qkv-only", action="store_true")
+    ap.add_argument("--cases", default=None,
+                    help="comma-separated N filter, e.g. 144,324,512")
     args = ap.parse_args()
 
+    from jpdvt_mt_ntnu_tpu.utils.platform import init_compilation_cache
+
+    init_compilation_cache()
+    global CASES
+    if args.cases:
+        keep = {int(s) for s in args.cases.split(",")}
+        CASES = [c for c in CASES if c[2] in keep]
     print(f"backend={jax.default_backend()}", file=sys.stderr)
     if args.check:
         check_correctness()
@@ -194,8 +280,13 @@ def main():
                     val = f"{r:9.1f}us" if isinstance(r, float) else f"{r:>11}"
                     line.append(f"{name}={val}")
                     rows.append((tag, b, h, n, d, name, r))
-            for name in QKV_IMPLS:
-                r = bench_case_qkv(b, h, n, d, name, grad)
+                for name in QKV_IMPLS:
+                    r = bench_case_qkv(b, h, n, d, name, grad)
+                    val = f"{r:9.1f}us" if isinstance(r, float) else f"{r:>11}"
+                    line.append(f"{name}={val}")
+                    rows.append((tag, b, h, n, d, name, r))
+            for name in SUB_IMPLS:
+                r = bench_case_sub(b, h, n, d, name, grad)
                 val = f"{r:9.1f}us" if isinstance(r, float) else f"{r:>11}"
                 line.append(f"{name}={val}")
                 rows.append((tag, b, h, n, d, name, r))
