@@ -150,15 +150,22 @@ def default_impl(n_tokens: int | None = None) -> str:
     """Pick the attention impl by measurement, not ideology.
 
     TPU v5e, tools/bench_attention.py (chained-scan wall clock, H=12 D=64,
-    bf16, round 2, after the native-dtype MXU fix):
+    bf16; round-3 numbers, measured AFTER the Mosaic lowering fix — the
+    round-2 fused-qkv kernels never actually compiled on hardware):
 
-    - N<=324 (the JPDVT 192/288px geometries): XLA's batched MXU einsums
-      win — per-(batch, head-group) kernel launches can't amortize at
-      these sizes (fwd+bwd N=324: XLA 482us vs pallas 735us).
-    - N in [512, 1296]: the whole-row Pallas kernels win, decisively on
-      fwd+bwd (N=1024: 1.25 ms vs XLA 4.69 ms; N=1296: 1.15 vs 3.74) —
-      one VMEM round trip and a fused recompute backward beat XLA's
-      materialized softmax.
+    - N<=324 (the JPDVT 192/288px geometries): XLA wins, with receipts.
+      Whole-SUBLAYER comparison at N=144 B=32 fwd: XLA fused chain 380us
+      vs the zero-HBM-intermediate fused_attention_block 549us (N=324:
+      383 vs 557) — Mosaic's layout rules (128-aligned lane slices, no
+      middle-dim collapses) force head_dim-64 projections onto half-width
+      MXU tiles, and three kernel families (per-head whole-row, packed
+      fused-qkv, fused block) all measured slower than XLA's fused
+      einsums here. Attention-op-only: XLA 228/264us vs pallas 381/370.
+    - N in [512, 1296]: the whole-row Pallas route wins: model-layout
+      fq_row (transposes + whole-row kernels) 438us vs fq_xla 582us at
+      N=512 fwd; raw-layout pallas 378 vs XLA 490 (and round-2's decisive
+      fwd+bwd wins at 1024/1296 were measured on these same validated
+      whole-row kernels).
     - N > 1296: whole-row blocks exceed VMEM; the flash-tiled kernels
       (ops/flash_attention.py, 512x1024 tiles) win BOTH modes
       (fwd+bwd N=2048: 3.20 ms vs XLA 8.95; N=4096: 5.91 vs 24.5 — 4.1x).
