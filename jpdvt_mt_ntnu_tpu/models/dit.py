@@ -153,7 +153,8 @@ class Attention(nn.Module):
         from ..ops.attention import (default_impl, dense_to_block_weights,
                                      fused_attention_block,
                                      fused_qkv_attention,
-                                     fused_qkv_attention_xla)
+                                     fused_qkv_attention_xla,
+                                     fused_qkv_attention_xla2)
 
         dt = self.dtype
         qkv_k, qkv_b = _LinearParams(self.hidden_size, 3 * self.hidden_size,
@@ -161,6 +162,12 @@ class Attention(nn.Module):
         proj_k, proj_b = _LinearParams(self.hidden_size, self.hidden_size,
                                        self.param_dtype, name="proj")()
         impl = self.attn_impl or default_impl(x.shape[1])
+        if impl == "xla_split":
+            from ..ops.attention import split_qkv_attention_xla
+
+            o = split_qkv_attention_xla(x.astype(dt), qkv_k.astype(dt),
+                                        qkv_b.astype(dt), self.num_heads)
+            return o @ proj_k.astype(dt) + proj_b.astype(dt)
         if impl in ("block", "block_interpret"):
             wq, bq, wp, bp = dense_to_block_weights(
                 qkv_k.astype(dt), qkv_b.astype(jnp.float32),
@@ -174,6 +181,8 @@ class Attention(nn.Module):
             o = fused_qkv_attention(qkv, self.num_heads)
         elif impl == "interpret":
             o = fused_qkv_attention(qkv, self.num_heads, True)
+        elif impl == "xla2":
+            o = fused_qkv_attention_xla2(qkv, self.num_heads)
         elif impl == "flash":
             from ..ops.flash_attention import fused_qkv_flash_attention
 

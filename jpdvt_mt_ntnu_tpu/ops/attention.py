@@ -379,6 +379,59 @@ def fused_qkv_attention_xla(qkv, num_heads: int):
     return jnp.moveaxis(o, 1, 2).reshape(b, n, num_heads * d)
 
 
+def fused_qkv_attention_xla2(qkv, num_heads: int):
+    """Layout-free XLA attention: einsums straight off the (B, N, 3HD) qkv.
+
+    Identical math to :func:`fused_qkv_attention_xla`, but with NO explicit
+    ``moveaxis``/``split`` — heads stay where the projection wrote them and
+    every reorder is implicit in the einsum subscripts. Why this exists: a
+    device profile of the faithful solve (round 3) showed the explicit
+    transposes materializing as 3 layout copies of (B, N, hidden) per block
+    (~46 us/block, 10% of the whole step at B=32/N=144); phrasing the
+    contractions without transposes lets XLA's layout assignment propagate
+    the attention-friendly layout back into the projection output instead
+    of copying.
+    """
+    b, n, f = qkv.shape
+    d = f // (3 * num_heads)
+    qkv5 = qkv.reshape(b, n, 3, num_heads, d)
+    q = qkv5[:, :, 0] * (d ** -0.5)
+    k = qkv5[:, :, 1]
+    v = qkv5[:, :, 2]
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32).astype(qkv.dtype)
+    return o.reshape(b, n, num_heads * d)
+
+
+def split_qkv_attention_xla(x, qkv_k, qkv_b, num_heads: int):
+    """Attention with per-head split projections: q/k/v each projected by
+    its own einsum emitting (B, H, N, D) straight from the dot.
+
+    Motivation (round-3 device profile): the fused-qkv path pays 3 layout
+    copies of (B, N, hidden) per block (~46 us at B=32/N=144) flipping the
+    projection's feature-in-lanes output into the feature-in-sublanes
+    layout the scores/AV dots consume. Splitting the projection lets each
+    conv write its operand layout directly; the extra cost is 3 smaller
+    dots instead of 1 large one. Weight/bias layout is unchanged
+    (the fused (F, 3F) kernel is sliced here), so checkpoints are
+    interchangeable across impls.
+    """
+    b, n, f = x.shape
+    d = f // num_heads
+    w = qkv_k.reshape(f, 3, num_heads, d)
+    bias = qkv_b.reshape(3, num_heads, d).astype(x.dtype)
+    proj = lambda i: (jnp.einsum(  # noqa: E731
+        "bnf,fhd->bhnd", x, w[:, i],
+        preferred_element_type=jnp.float32).astype(x.dtype) +
+        bias[i][None, :, None, :])
+    q, k, v = proj(0), proj(1), proj(2)
+    o = _attention_xla(q, k, v)
+    return jnp.moveaxis(o, 1, 2).reshape(b, n, f)
+
+
 def multihead_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                         impl: str | None = None) -> jnp.ndarray:
     """Fused MHA. q, k, v: (B, H, N, Dh) -> (B, H, N, Dh).

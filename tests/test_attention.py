@@ -72,3 +72,45 @@ def test_default_impl_geometry_routing(monkeypatch):
     assert A.default_impl(1296) == "pallas"
     assert A.default_impl(1297) == "flash"
     assert A.default_impl(4096) == "flash"
+
+
+def test_layout_variants_match_fused_qkv():
+    """xla2 (no-moveaxis einsums) and xla_split (per-head projections) are
+    measured layout experiments (PERF.md round 3 — both LOST to the fused
+    path on hardware, kept selectable + documented); their math must equal
+    the fused-qkv oracle."""
+    from jpdvt_mt_ntnu_tpu.ops.attention import (fused_qkv_attention_xla,
+                                                 fused_qkv_attention_xla2,
+                                                 split_qkv_attention_xla)
+
+    b, n, h, d = 2, 18, 4, 16
+    f = h * d
+    key = jax.random.key(3)
+    kx, kw, kb, kq = jax.random.split(key, 4)
+    x = jax.random.normal(kx, (b, n, f))
+    w = jax.random.normal(kw, (f, 3 * f)) * 0.1
+    bias = jax.random.normal(kb, (3 * f,)) * 0.1
+    qkv = x @ w + bias
+    ref = fused_qkv_attention_xla(qkv, h)
+    np.testing.assert_allclose(np.asarray(fused_qkv_attention_xla2(qkv, h)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(split_qkv_attention_xla(x, w, bias, h)),
+                               np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_model_layout_impls_match():
+    """The DiT forward is impl-independent across the XLA layout variants."""
+    from jpdvt_mt_ntnu_tpu.models import create_model
+
+    outs = {}
+    for impl in ("xla", "xla2", "xla_split"):
+        model, cfg = create_model("DiT-S/8", input_size=32, attn_impl=impl)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
+                            jnp.array([0]), jnp.zeros((1, 16, 8)))
+        x = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))
+        code = jax.random.normal(jax.random.key(2), (2, 16, 8))
+        outs[impl] = model.apply(params, x, jnp.array([5, 9]), code)
+    for impl in ("xla2", "xla_split"):
+        np.testing.assert_allclose(np.asarray(outs[impl][1]),
+                                   np.asarray(outs["xla"][1]),
+                                   rtol=1e-4, atol=1e-5, err_msg=impl)
