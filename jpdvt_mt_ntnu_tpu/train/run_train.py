@@ -176,7 +176,12 @@ def main(argv=None) -> int:
         t_bias=cfg.train.t_bias,
     )
     piece_code = jnp.asarray(grid_code(model_cfg.code_dim, grid))
-    train_step = make_train_step(model, diffusion, optimizer, task, piece_code)
+    # Plain AdamW (no grad clip) takes the single-pass fused update path
+    # (state.fused_adamw_ema); clipped runs keep the general optax chain.
+    fused = (dict(lr=cfg.train.lr, weight_decay=cfg.train.weight_decay)
+             if cfg.train.grad_clip is None else None)
+    train_step = make_train_step(model, diffusion, optimizer, task, piece_code,
+                                 fused_adamw=fused)
 
     state = create_train_state(model, model_cfg, jax.random.key(cfg.train.global_seed),
                                optimizer)

@@ -47,3 +47,55 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.0,
     if grad_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     return tx
+
+
+def fused_adamw_ema(params, grads, ema, opt_state, *, lr: float,
+                    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+                    weight_decay: float = 0.0, ema_decay: float = 0.9999):
+    """Single-pass AdamW + EMA update, optax-state-compatible.
+
+    The optax chain (``adamw.update`` -> ``apply_updates`` ->
+    ``incremental_update``) routes m/v/param/EMA through separate per-leaf
+    trees; this computes m, v, p and EMA for each leaf in one expression so
+    XLA emits one read-everything/write-everything fusion per leaf.
+    Measured on hardware (tools/bench_train.py, flagship 131M): the win is
+    marginal — 11.91 vs 12.15 ms/step at batch 8 (where the
+    batch-independent optimizer segment dominates) and a wash at batch 96
+    (82.9 ms both) — XLA already fuses the optax chain to near the HBM
+    bandwidth floor. Kept as the production default because it is never
+    slower and is one code path instead of three tree traversals.
+
+    Semantics match ``optax.adamw(lr, b1, b2, eps, weight_decay)`` +
+    ``optax.incremental_update(p_new, ema, 1-ema_decay)`` exactly (same
+    bias correction via count+1, same decayed-weights placement); the
+    returned ``opt_state`` is a rebuilt optax state tuple, so checkpoints
+    written either way restore interchangeably.
+
+    Only the plain-AdamW layout (``ScaleByAdamState`` first) is supported;
+    callers with grad clipping or exotic chains keep the optax path.
+    """
+    adam = opt_state[0]
+    if not hasattr(adam, "mu"):
+        raise TypeError("fused_adamw_ema needs optax.adamw state layout; "
+                        f"got {type(adam).__name__}")
+    count = optax.safe_int32_increment(adam.count)
+    c1 = 1.0 - b1 ** count.astype(jnp.float32)
+    c2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+    def leaf(p, g, m, v, e):
+        m2 = b1 * m + (1.0 - b1) * g
+        v2 = b2 * v + (1.0 - b2) * jnp.square(g)
+        u = (m2 / c1) / (jnp.sqrt(v2 / c2) + eps) + weight_decay * p
+        p2 = p - lr * u
+        e2 = e + (1.0 - ema_decay) * (p2 - e)
+        return p2, m2, v2, e2
+
+    flat_p, treedef = jax.tree.flatten(params)
+    flat_g = treedef.flatten_up_to(grads)
+    flat_m = treedef.flatten_up_to(adam.mu)
+    flat_v = treedef.flatten_up_to(adam.nu)
+    flat_e = treedef.flatten_up_to(ema)
+    out = [leaf(*args) for args in zip(flat_p, flat_g, flat_m, flat_v, flat_e)]
+    unflat = lambda i: jax.tree.unflatten(treedef, [o[i] for o in out])  # noqa: E731
+    new_adam = adam._replace(count=count, mu=unflat(1), nu=unflat(2))
+    return unflat(0), unflat(3), (new_adam,) + tuple(opt_state[1:])

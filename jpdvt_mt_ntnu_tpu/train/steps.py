@@ -48,12 +48,21 @@ class TrainTask:
 
 def make_train_step(model, diffusion: Diffusion, optimizer: optax.GradientTransformation,
                     task: TrainTask, piece_code: jnp.ndarray,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    fused_adamw: dict | None = None) -> Callable:
     """Build ``train_step(state, images, rng) -> (state, metrics)``.
 
     images: (B, H, W, C) clean images in [-1, 1], NHWC, batch-sharded or not.
     rng: a jax PRNG key; it is folded with the step counter internally so
     passing the same key every call still gives fresh randomness.
+
+    fused_adamw: optional AdamW hyperparameters (``{"lr": ..,
+    "weight_decay": ..}``) enabling the single-pass fused AdamW+EMA update
+    (state.fused_adamw_ema — measured marginally faster than the optax
+    chain, never slower; see its docstring for hardware numbers). Must
+    describe the SAME optimizer that built ``state.opt_state``;
+    ``optimizer`` is then only used as a fallback documentation of
+    intent. None = the plain optax chain.
     """
 
     def loss_fn(params, images, t, rng):
@@ -96,11 +105,18 @@ def make_train_step(model, diffusion: Diffusion, optimizer: optax.GradientTransf
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, images, t, k_loss)
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.params)
-        params = optax.apply_updates(state.params, updates)
-        ema = optax.incremental_update(params, state.ema_params,
-                                       1.0 - task.ema_decay)
+        if fused_adamw is not None:
+            from .state import fused_adamw_ema
+
+            params, ema, opt_state = fused_adamw_ema(
+                state.params, grads, state.ema_params, state.opt_state,
+                ema_decay=task.ema_decay, **fused_adamw)
+        else:
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema = optax.incremental_update(params, state.ema_params,
+                                           1.0 - task.ema_decay)
         new_state = TrainState(step=state.step + 1, params=params,
                                ema_params=ema, opt_state=opt_state)
         metrics = {

@@ -30,7 +30,7 @@ from jpdvt_mt_ntnu_tpu.train.steps import TrainTask
 from jpdvt_mt_ntnu_tpu.utils.pos_embed import grid_code
 
 
-def _setup(mesh):
+def _setup(mesh, fused=False):
     model, cfg = create_model("JPDVT", input_size=48, depth=2, hidden_size=64,
                               num_heads=4, attn_impl="xla")
     diff = create_diffusion("")
@@ -39,12 +39,13 @@ def _setup(mesh):
     state = jax.device_put(state, state_shardings(state, mesh))
     task = TrainTask(grid_size=3, block_size=16, patch_size=16)
     step = make_train_step(model, diff, opt, task,
-                           jnp.asarray(grid_code(8, 3)), donate=False)
+                           jnp.asarray(grid_code(8, 3)), donate=False,
+                           fused_adamw=dict(lr=1e-3) if fused else None)
     return state, step
 
 
-def _run(mesh, n_steps=3):
-    state, step = _setup(mesh)
+def _run(mesh, n_steps=3, fused=False):
+    state, step = _setup(mesh, fused=fused)
     losses = []
     for i in range(n_steps):
         x = jax.random.normal(jax.random.key(100 + i), (8, 48, 48, 3)) * 0.5
@@ -54,18 +55,22 @@ def _run(mesh, n_steps=3):
     return state, losses
 
 
-def test_tp_losses_match_dp_step_for_step():
-    """mesh.model=2 training == mesh.model=1, same global batch, fp32."""
-    _, dp_losses = _run(make_mesh(MeshSpec(data=8, model=1)))
-    _, tp_losses = _run(make_mesh(MeshSpec(data=4, model=2)))
+@pytest.mark.parametrize("fused", [False, True],
+                         ids=["optax", "fused_adamw"])
+def test_tp_losses_match_dp_step_for_step(fused):
+    """mesh.model=2 training == mesh.model=1, same global batch, fp32 —
+    for BOTH optimizer paths (production defaults to the fused one)."""
+    _, dp_losses = _run(make_mesh(MeshSpec(data=8, model=1)), fused=fused)
+    _, tp_losses = _run(make_mesh(MeshSpec(data=4, model=2)), fused=fused)
     np.testing.assert_allclose(tp_losses, dp_losses, rtol=2e-5)
 
 
 def test_tp_state_stays_sharded_through_the_step():
     """Outputs of the jitted step keep the Megatron shardings (params, EMA,
-    and adam moments) — GSPMD must not silently replicate them."""
+    and adam moments) — GSPMD must not silently replicate them. Uses the
+    production-default fused AdamW+EMA update."""
     mesh = make_mesh(MeshSpec(data=4, model=2))
-    state, _ = _run(mesh, n_steps=1)
+    state, _ = _run(mesh, n_steps=1, fused=True)
 
     def qkv_kernel(tree):
         return tree["params"]["block_0"]["attn"]["qkv"]["kernel"]

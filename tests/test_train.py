@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from jpdvt_mt_ntnu_tpu.core.diffusion import create_diffusion
 from jpdvt_mt_ntnu_tpu.models import create_model
@@ -85,3 +86,59 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == 1
     assert mgr.metadata()["model"] == "JPDVT"
     mgr.close()
+
+
+def test_fused_adamw_matches_optax():
+    """The single-pass fused AdamW+EMA (state.fused_adamw_ema) must track
+    the optax chain step-for-step: params, EMA, moments and count."""
+    from jpdvt_mt_ntnu_tpu.train.state import make_optimizer as mk
+
+    model, cfg, diff, state_a, step_a = _setup()
+    opt = mk(lr=2e-3)
+    task = TrainTask(grid_size=3, block_size=16, patch_size=cfg.patch_size,
+                     add_mask=False, shared_perm=True)
+    code = jnp.asarray(grid_code(8, 3))
+    step_b = make_train_step(model, diff, opt, task, code, donate=False,
+                             fused_adamw=dict(lr=2e-3, weight_decay=0.0))
+    state_b = create_train_state(model, cfg, jax.random.key(0), opt)
+    x = jax.random.normal(jax.random.key(2), (8, 48, 48, 3)) * 0.5
+    rng = jax.random.key(1)
+    for _ in range(3):
+        state_a, ma = step_a(state_a, x, rng)
+        state_b, mb = step_b(state_b, x, rng)
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                               rtol=1e-5)
+    assert int(state_b.opt_state[0].count) == 3
+    for name, ta, tb in (
+            ("params", state_a.params, state_b.params),
+            ("ema", state_a.ema_params, state_b.ema_params),
+            ("mu", state_a.opt_state[0].mu, state_b.opt_state[0].mu),
+            ("nu", state_a.opt_state[0].nu, state_b.opt_state[0].nu)):
+        for la, lb in zip(jax.tree.leaves(ta), jax.tree.leaves(tb)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=2e-5, atol=1e-7, err_msg=name)
+
+
+def test_fused_adamw_with_weight_decay_matches_optax():
+    from jpdvt_mt_ntnu_tpu.train.state import fused_adamw_ema
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3) / 7.0, "b": jnp.ones((3,))}
+    grads = {"w": jnp.full((2, 3), 0.3), "b": jnp.array([0.1, -0.2, 0.5])}
+    ema = jax.tree.map(jnp.copy, params)
+    opt = optax.adamw(3e-3, weight_decay=0.01)
+    opt_state = opt.init(params)
+    p2, e2, s2 = params, ema, opt_state
+    for _ in range(4):
+        p2, e2, s2 = fused_adamw_ema(p2, grads, e2, s2, lr=3e-3,
+                                     weight_decay=0.01, ema_decay=0.999)
+    pr, sr = params, opt_state
+    er = ema
+    for _ in range(4):
+        up, sr = opt.update(grads, sr, pr)
+        pr = optax.apply_updates(pr, up)
+        er = optax.incremental_update(pr, er, 0.001)
+    for got, want in ((p2, pr), (e2, er), (s2[0].mu, sr[0].mu),
+                      (s2[0].nu, sr[0].nu)):
+        for la, lb in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=1e-6, atol=1e-8)
