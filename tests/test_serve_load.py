@@ -72,7 +72,9 @@ def test_concurrent_clients_no_starvation_and_correct_routing():
 
     # Coalescing happened: far fewer programs than clients.
     assert batcher.items_run >= N_CLIENTS
-    assert batcher.batches_run <= N_CLIENTS // 2, batcher.batches_run
+    assert batcher.batches_run <= N_CLIENTS // 2, \
+        f"{batcher.batches_run} programs for {batcher.items_run} items " \
+        "— requests are not coalescing"
 
     serial_wall = N_CLIENTS * PROGRAM_COST_S  # one-program-per-request
     p50, p99 = np.percentile(latencies, [50, 99])
@@ -81,9 +83,16 @@ def test_concurrent_clients_no_starvation_and_correct_routing():
           f"p50={p50*1e3:.0f}ms p99={p99*1e3:.0f}ms, "
           f"{batcher.batches_run} programs for {batcher.items_run} items")
     # Batched wall-clock must clearly beat serial; p99 must stay far below
-    # the serial tail (a starved client would sit at ~serial_wall).
-    assert wall < serial_wall * 0.6, (wall, serial_wall)
-    assert p99 < serial_wall * 0.6, (p99, serial_wall)
+    # the serial tail (a starved client would sit at ~serial_wall). The
+    # 0.7 margin leaves headroom for scheduler pauses on the 1-core CI VM
+    # (typical measured wall is ~0.15x serial; a full-suite run once
+    # crossed 0.6x) while still failing hard on any real starvation.
+    assert wall < serial_wall * 0.7, \
+        f"wall {wall*1e3:.0f}ms vs serial {serial_wall*1e3:.0f}ms " \
+        f"({batcher.batches_run} programs, p50 {p50*1e3:.0f}ms p99 {p99*1e3:.0f}ms)"
+    assert p99 < serial_wall * 0.7, \
+        f"p99 {p99*1e3:.0f}ms vs serial {serial_wall*1e3:.0f}ms " \
+        f"({batcher.batches_run} programs for {batcher.items_run} items)"
 
 
 def test_queue_drains_after_burst_then_idle():
