@@ -188,6 +188,12 @@ class Attention(nn.Module):
 
             o = fused_qkv_flash_attention(qkv, self.num_heads)
         else:
+            # NOT jax.checkpoint-wrapped, deliberately: recomputing the
+            # attention core in backward (flash-style, to avoid storing
+            # the (B,H,N,N) probs residual) was built and MEASURED WORSE
+            # on hardware — 88.8 vs 82.9 ms/step for the flagship train
+            # step at batch 96 (PERF.md round-3 train profile). XLA's own
+            # residual schedule beats forced remat at these geometries.
             o = fused_qkv_attention_xla(qkv, self.num_heads)
         return o @ proj_k.astype(dt) + proj_b.astype(dt)
 

@@ -137,7 +137,26 @@ _attention_pallas.defvjp(_attention_pallas_fwd_rule, _attention_pallas_bwd_rule)
 
 
 def _attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Reference implementation: plain einsums, fp32 softmax."""
+    """Reference implementation: plain einsums, fp32 softmax.
+
+    Deliberately left to PLAIN AUTODIFF. Two structural backward attacks
+    on the training path were built and measured SLOWER on hardware than
+    what XLA's autodiff + scheduler emit for this (flagship train step,
+    batch 96, tools/bench_train.py; baseline 83.1 ms/step):
+
+    - jax.checkpoint around the attention core (flash-style recompute of
+      the (N,N) probs in backward): 88.8 ms/step;
+    - a custom VJP computing dV/dP/dQ/dK with input-dtype (bf16) dot
+      operands and fp32 softmax-gradient math (the Pallas kernels'
+      convention, to keep the NxN cotangents off the fp32 MXU path):
+      86.4 ms/step.
+
+    XLA already overlaps the probs-residual round trips with neighboring
+    weight-gradient matmuls (the train profile shows the attention-core
+    fusions running at ~600 GB/s — bandwidth roofline), and hand-written
+    VJPs only break its fusion choices. See PERF.md "train-step device
+    profile".
+    """
     d = q.shape[-1]
     s = jnp.einsum("bhqd,bhkd->bhqk", q * (d ** -0.5), k,
                    preferred_element_type=jnp.float32)
