@@ -22,18 +22,29 @@ import os
 import re
 from typing import Optional
 
+from .gate import AccessGate
 from .service import PuzzleService, ServiceConfig
 
 STATIC_DIR = os.path.join(os.path.dirname(__file__), "static")
 
 _service: Optional[PuzzleService] = None
+_gate: Optional[AccessGate] = None
 
 
 def get_service(cfg: Optional[ServiceConfig] = None) -> PuzzleService:
-    global _service
+    global _service, _gate
     if _service is None:
-        _service = PuzzleService(cfg or ServiceConfig())
+        cfg = cfg or ServiceConfig()
+        _service = PuzzleService(cfg)
+        _gate = AccessGate(api_key=cfg.api_key, rate_limit=cfg.rate_limit,
+                           rate_burst=cfg.rate_burst)
     return _service
+
+
+def get_gate() -> AccessGate:
+    if _gate is None:
+        get_service()
+    return _gate
 
 
 # --------------------------------------------------------------------------
@@ -41,7 +52,8 @@ def get_service(cfg: Optional[ServiceConfig] = None) -> PuzzleService:
 # --------------------------------------------------------------------------
 
 def create_fastapi_app(cfg: Optional[ServiceConfig] = None):
-    from fastapi import FastAPI, File, Form, HTTPException, UploadFile
+    from fastapi import (FastAPI, File, Form, HTTPException, Request,
+                         UploadFile)
     from fastapi.middleware.cors import CORSMiddleware
     from fastapi.responses import RedirectResponse
     from fastapi.staticfiles import StaticFiles
@@ -58,6 +70,16 @@ def create_fastapi_app(cfg: Optional[ServiceConfig] = None):
         indices: Optional[list[int]] = None
         model_config = {"protected_namespaces": ()}
 
+    def check_gate(request):
+        """Auth + rate limit for the mutating POSTs (serve/gate.py)."""
+        d = get_gate().check(request.client.host if request.client else "",
+                             {k.lower(): v for k, v in request.headers.items()})
+        if not d.allowed:
+            raise HTTPException(
+                d.status, d.detail,
+                headers={"Retry-After": str(d.retry_after)}
+                if d.status == 429 else None)
+
     @app.on_event("startup")
     async def startup():
         get_service(cfg)
@@ -71,22 +93,25 @@ def create_fastapi_app(cfg: Optional[ServiceConfig] = None):
         return get_service().models()
 
     @app.post("/api/create_puzzle")
-    async def create_puzzle(file: UploadFile = File(...),
+    async def create_puzzle(request: Request, file: UploadFile = File(...),
                             seed: Optional[int] = Form(None)):
+        check_gate(request)
         try:
             return get_service().create_puzzle(await file.read(), seed)
         except Exception as e:
             raise HTTPException(500, f"Error creating puzzle: {e}")
 
     @app.post("/api/solve_puzzle")
-    async def solve_puzzle(file: UploadFile = File(...)):
+    async def solve_puzzle(request: Request, file: UploadFile = File(...)):
+        check_gate(request)
         try:
             return get_service().solve_puzzle(await file.read())
         except Exception as e:
             raise HTTPException(500, f"Error solving puzzle: {e}")
 
     @app.post("/api/solve")
-    async def solve(data: SolveRequest):
+    async def solve(request: Request, data: SolveRequest):
+        check_gate(request)
         try:
             return get_service().solve(data.image_data, data.indices,
                                        data.model_id)
@@ -134,17 +159,24 @@ def _parse_multipart(body: bytes, content_type: str) -> dict[str, bytes]:
 class _Handler:
     """Route table shared by the stdlib server (framework-free)."""
 
-    def __init__(self, service: PuzzleService):
+    def __init__(self, service: PuzzleService, gate: AccessGate | None = None):
         self.service = service
+        self.gate = gate or AccessGate()
 
     def handle(self, method: str, path: str, headers: dict,
-               body: bytes) -> tuple[int, str, bytes]:
+               body: bytes, client: str = "") -> tuple[int, str, bytes]:
         try:
             if method == "GET" and path in ("/", "/index.html"):
                 with open(os.path.join(STATIC_DIR, "index.html"), "rb") as f:
                     return 200, "text/html", f.read()
             if method == "GET" and path == "/api/models":
                 return self._json(self.service.models())
+            if method == "POST" and path.startswith("/api/"):
+                d = self.gate.check(client, headers)
+                if not d.allowed:
+                    return (d.status, "application/json",
+                            json.dumps({"detail": d.detail,
+                                        "retry_after": d.retry_after}).encode())
             if method == "POST" and path == "/api/create_puzzle":
                 fields = _parse_multipart(body, headers.get("content-type", ""))
                 seed = int(fields["seed"]) if fields.get("seed") else None
@@ -172,7 +204,7 @@ def serve_stdlib(cfg: Optional[ServiceConfig] = None, host: str = "0.0.0.0",
                  port: int = 8000):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    handler = _Handler(get_service(cfg))
+    handler = _Handler(get_service(cfg), get_gate())
 
     class H(BaseHTTPRequestHandler):
         def _respond(self):
@@ -180,7 +212,8 @@ def serve_stdlib(cfg: Optional[ServiceConfig] = None, host: str = "0.0.0.0",
             body = self.rfile.read(length) if length else b""
             status, ctype, payload = handler.handle(
                 self.command, self.path.split("?")[0],
-                {k.lower(): v for k, v in self.headers.items()}, body)
+                {k.lower(): v for k, v in self.headers.items()}, body,
+                client=self.client_address[0])
             self.send_response(status)
             self.send_header("Content-Type", ctype)
             self.send_header("Access-Control-Allow-Origin", "*")

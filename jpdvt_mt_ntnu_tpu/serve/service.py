@@ -17,6 +17,7 @@ from __future__ import annotations
 import base64
 import dataclasses
 import io
+import os
 import time
 from typing import Optional
 
@@ -51,6 +52,19 @@ class ServiceConfig:
     depth: int = 0
     hidden_size: int = 0
     num_heads: int = 0
+    # Request gate (serve/gate.py): optional API-key auth + per-client rate
+    # limiting on the mutating /api POSTs, enforced identically by both
+    # transports. Defaults come from the environment so a deployment can be
+    # locked down without code; empty/0 = open (reference-compatible,
+    # api/app.py:49-55 has no auth at all).
+    api_key: str = dataclasses.field(
+        default_factory=lambda: os.environ.get("JPDVT_API_KEY", ""))
+    rate_limit: float = dataclasses.field(
+        default_factory=lambda: float(
+            os.environ.get("JPDVT_RATE_LIMIT", "0") or 0.0))
+    rate_burst: int = dataclasses.field(
+        default_factory=lambda: int(
+            os.environ.get("JPDVT_RATE_BURST", "0") or 0))
 
 
 def _b64_to_image(data: str) -> Image.Image:
