@@ -123,7 +123,8 @@ def main(argv=None) -> int:
 
     with open(md_path, "w") as f:
         f.write(f"# Sampler trade-off — grid {g}x{g}, {n} unseen images, "
-                f"batch {bench_b}, ckpt={cfg.eval.checkpoint}\n\n")
+                f"batch {bench_b}, ckpt={cfg.eval.checkpoint} "
+                f"(ema={cfg.eval.use_ema})\n\n")
         f.write("| sampler | puzzle acc | patch acc | puzzles/s (pipelined) |\n")
         f.write("|---|---|---|---|\n")
         for label, mode, respacing, pa, ta, tp in rows:
