@@ -1,0 +1,77 @@
+"""8x8 puzzle path — two grid steps beyond the reference's ceiling (4x4).
+
+The geometry the 64-piece run uses: JPDVT-S@256 -> patch 32, 8 tokens per
+side, grid 8 -> sub = 1 (one model token per piece), mirroring the
+reference's own JPDVT-T sub=1 pattern (models.py:415-416) at 4x the piece
+count. The reference supports 3x3 and 4x4 only (train_JPDVT.py /
+train_JPDVT_4x4.py); every op here is grid-parameterized, so 8x8 needs
+zero special cases — these tests pin that, end to end.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from jpdvt_mt_ntnu_tpu.core.diffusion import create_diffusion
+from jpdvt_mt_ntnu_tpu.eval.solver import PuzzleSolver
+from jpdvt_mt_ntnu_tpu.models import create_model
+from jpdvt_mt_ntnu_tpu.ops import jigsaw
+from jpdvt_mt_ntnu_tpu.train import create_train_state, make_train_step
+from jpdvt_mt_ntnu_tpu.train.state import make_optimizer
+from jpdvt_mt_ntnu_tpu.train.steps import TrainTask
+from jpdvt_mt_ntnu_tpu.utils.pos_embed import grid_code
+
+
+class _Oracle8:
+    """Model stub that reads the slot id painted into each piece and emits
+    that slot's canonical code for every one of the piece's sub-tokens."""
+
+    def __init__(self, cfg, grid=8):
+        self.cfg = cfg
+        self.grid = grid
+        self.sub = cfg.input_size // (cfg.patch_size * grid)
+        self.canon = jnp.asarray(grid_code(cfg.code_dim, grid))
+
+    def apply(self, params, condition, t, code):
+        pieces = jigsaw.to_pieces(condition, self.grid)
+        slot_ids = pieces[:, :, 0, 0, 0].astype(jnp.int32)
+        toks = jigsaw.piece_code_to_tokens(self.canon[slot_ids], self.grid,
+                                           self.sub)
+        return condition, toks
+
+
+def _slot_images(b, size, grid):
+    p = grid * grid
+    ids = jnp.arange(p, dtype=jnp.float32).reshape(1, p, 1, 1, 1)
+    px = size // grid
+    return jigsaw.from_pieces(
+        jnp.broadcast_to(ids, (b, p, px, px, 3)), grid)
+
+
+def test_grid8_sub1_oracle_perfect():
+    # 64px, patch 8 -> 8 tokens/side; grid 8 -> sub = 1 (the 64-piece
+    # JPDVT-S@256 geometry, scaled down)
+    _, cfg = create_model("JPDVT", input_size=64, depth=1, hidden_size=32,
+                          num_heads=2, patch_size=8, attn_impl="xla")
+    assert cfg.input_size // (cfg.patch_size * 8) == 1
+    solver = PuzzleSolver(_Oracle8(cfg), cfg, create_diffusion("5"),
+                          grid_size=8, mode="faithful")
+    x = _slot_images(2, 64, 8)
+    res = solver.evaluate(None, x, jax.random.key(0))
+    assert res.puzzle_accuracy == 1.0
+    assert res.pred.shape == (2, 64)
+
+
+def test_grid8_train_step_runs_and_learns_shapes():
+    model, cfg = create_model("JPDVT", input_size=64, depth=1,
+                              hidden_size=32, num_heads=2, patch_size=8,
+                              attn_impl="xla")
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(model, cfg, jax.random.key(0), opt)
+    task = TrainTask(grid_size=8, block_size=8, patch_size=8,
+                     shared_perm=False)
+    step = make_train_step(model, create_diffusion(""), opt, task,
+                           jnp.asarray(grid_code(8, 8)), donate=False)
+    x = jax.random.normal(jax.random.key(1), (4, 64, 64, 3))
+    state2, m = step(state, x, jax.random.key(2))
+    assert jnp.isfinite(m["loss"])
+    assert int(state2.step) == 1
