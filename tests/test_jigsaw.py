@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from jpdvt_mt_ntnu_tpu.ops import jigsaw
 
@@ -82,6 +83,28 @@ def test_shared_vs_per_sample_perms():
     assert (np.asarray(shared) == np.asarray(shared)[0]).all()
     per = jigsaw.random_permutations(jax.random.key(0), 64, 9, shared=False)
     assert len({tuple(r) for r in np.asarray(per)}) > 1
+
+
+@pytest.mark.parametrize("grid,sub", [(2, 3), (3, 2), (4, 1), (5, 2),
+                                      (6, 2), (8, 1), (12, 1)])
+def test_arbitrary_grid_roundtrips(grid, sub):
+    """Every jigsaw op is grid-parameterized (the reference hard-codes 3
+    and 4); pin piece/scramble/code roundtrips for grids the reference
+    never supports, including the trained 6x6/8x8 geometries."""
+    n = grid * grid
+    x = _img(2, grid * 4, key=grid)
+    p = jigsaw.to_pieces(x, grid)
+    assert p.shape == (2, n, 4, 4, 3)
+    np.testing.assert_array_equal(np.asarray(jigsaw.from_pieces(p, grid)),
+                                  np.asarray(x))
+    idx = jax.vmap(lambda k: jax.random.permutation(k, n))(
+        jax.random.split(jax.random.key(7 + grid), 2))
+    rec = jigsaw.unscramble(jigsaw.scramble(x, idx, grid), idx, grid)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-6)
+    code = jax.random.normal(jax.random.key(2), (2, n, 8))
+    back = jigsaw.tokens_to_piece_code(
+        jigsaw.piece_code_to_tokens(code, grid, sub), grid, sub)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(code), rtol=1e-6)
 
 
 def test_inner_crop_pieces():
