@@ -172,6 +172,7 @@ def main(argv=None) -> int:
         add_mask=cfg.task.add_mask,
         shared_perm=cfg.task.shared_perm,
         ema_decay=cfg.train.ema_decay,
+        ema_warmup=cfg.train.ema_warmup,
         crop_pieces=cfg.model.image_size // grid if cfg.task.crop else None,
         t_bias=cfg.train.t_bias,
     )

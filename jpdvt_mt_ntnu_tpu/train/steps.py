@@ -37,6 +37,13 @@ class TrainTask:
     add_mask: bool = False
     shared_perm: bool = True
     ema_decay: float = 0.9999
+    # Bias-corrected EMA warmup: effective decay ramps as
+    # min(ema_decay, (1+step)/(10+step)) so the average tracks the params
+    # from step 0 instead of the zero-ish init. The reference uses a fixed
+    # .9999 from step 0 (train_JPDVT.py:37-46), which made EMA validation
+    # read chance for ~20k steps on fast-converging runs (PERF.md, waves);
+    # default off for parity.
+    ema_warmup: bool = False
     crop_pieces: int | None = None  # ImageNet --crop: inner piece crop px
     # Timestep sampling bias: 0 = uniform (reference parity,
     # train_JPDVT.py:354). >0 skews draws toward HIGH t via
@@ -105,18 +112,23 @@ def make_train_step(model, diffusion: Diffusion, optimizer: optax.GradientTransf
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, images, t, k_loss)
+        if task.ema_warmup:
+            s = (state.step + 1).astype(jnp.float32)
+            ema_decay = jnp.minimum(task.ema_decay, (1.0 + s) / (10.0 + s))
+        else:
+            ema_decay = task.ema_decay
         if fused_adamw is not None:
             from .state import fused_adamw_ema
 
             params, ema, opt_state = fused_adamw_ema(
                 state.params, grads, state.ema_params, state.opt_state,
-                ema_decay=task.ema_decay, **fused_adamw)
+                ema_decay=ema_decay, **fused_adamw)
         else:
             updates, opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
             params = optax.apply_updates(state.params, updates)
             ema = optax.incremental_update(params, state.ema_params,
-                                           1.0 - task.ema_decay)
+                                           1.0 - ema_decay)
         new_state = TrainState(step=state.step + 1, params=params,
                                ema_params=ema, opt_state=opt_state)
         metrics = {

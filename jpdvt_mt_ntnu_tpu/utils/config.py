@@ -98,6 +98,9 @@ class TrainConfig:
     lr: float = 1e-4
     weight_decay: float = 0.0
     ema_decay: float = 0.9999
+    # Ramp the EMA decay as min(ema_decay, (1+step)/(10+step)) so early
+    # checkpoints carry a usable average (reference parity = fixed decay).
+    ema_warmup: bool = False
     grad_clip: Optional[float] = None
     t_bias: float = 0.0               # >0 skews timestep draws toward high t
     log_every: int = 100

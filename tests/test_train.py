@@ -51,6 +51,29 @@ def test_ema_tracks_params():
                                rtol=1e-5, atol=1e-7)
 
 
+def test_ema_warmup_ramps_decay():
+    """ema_warmup: effective decay is min(.9999, (1+s)/(10+s)) — at step 1
+    that is 2/11, so the EMA moves ~1800x faster than the fixed schedule."""
+    model, cfg = create_model("JPDVT", input_size=48, depth=1,
+                              hidden_size=64, num_heads=4, attn_impl="xla")
+    diff = create_diffusion("")
+    opt = make_optimizer(lr=2e-3)
+    state = create_train_state(model, cfg, jax.random.key(0), opt)
+    task = TrainTask(grid_size=3, block_size=16, patch_size=cfg.patch_size,
+                     ema_warmup=True)
+    step = make_train_step(model, diff, opt, task, jnp.asarray(grid_code(8, 3)),
+                           donate=False)
+    x = jax.random.normal(jax.random.key(2), (4, 48, 48, 3))
+    p0 = jax.tree.leaves(state.params)[0].copy()
+    state, _ = step(state, x, jax.random.key(1))
+    ema1 = jax.tree.leaves(state.ema_params)[0]
+    p1 = jax.tree.leaves(state.params)[0]
+    d = 2.0 / 11.0  # min(0.9999, (1+1)/(10+1))
+    expect = d * p0 + (1.0 - d) * p1
+    np.testing.assert_allclose(np.asarray(ema1), np.asarray(expect),
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_train_step_sharded_matches_unsharded():
     model, cfg, diff, state, step = _setup(depth=1)
     x = jax.random.normal(jax.random.key(5), (8, 48, 48, 3))
