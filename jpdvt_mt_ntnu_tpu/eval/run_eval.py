@@ -27,9 +27,37 @@ from .harness import EvalHarness, find_images
 from .solver import PuzzleSolver
 
 
+def check_metadata_compat(metadata: dict, cfg: Config) -> list[str]:
+    """Cross-check the eval config against the checkpoint's recorded train
+    config; returns human-readable mismatch lines (empty = compatible).
+
+    The reference has no such guard and paid for it: its '4_Fail' run
+    evaluated 18,128 ImageNet images with a 3x3-style config against the
+    4x4 JPDVT-T checkpoint and journaled 0.0000 puzzle accuracy before
+    anyone noticed (reference logs/4_Fail/inference_progress.csv,
+    SURVEY.md §6). Model name, image size and grid must match or the
+    pooled-code recovery is silently garbage."""
+    tcfg = (metadata or {}).get("config") or {}
+    tm = tcfg.get("model") or {}
+    tt = tcfg.get("task") or {}
+    out = []
+    for label, trained, using in (
+            ("model.name", tm.get("name"), cfg.model.name),
+            ("model.image_size", tm.get("image_size"), cfg.model.image_size),
+            ("task.grid_size", tt.get("grid_size"), cfg.task.grid_size)):
+        if trained is not None and trained != using:
+            out.append(f"{label}: checkpoint was trained with {trained!r}, "
+                       f"evaluating with {using!r}")
+    return out
+
+
 def load_params(cfg: Config, model, model_cfg):
     """Load params from an Orbax train checkpoint or a converted-torch npz;
     random init if no checkpoint given.
+
+    Refuses a checkpoint whose recorded train config conflicts with the
+    eval config (see ``check_metadata_compat``); override with
+    ``eval.allow_mismatch=true`` for deliberate cross-config runs.
 
     ``eval.use_ema`` selects the EMA weights (default; usually better) vs
     the raw training weights — the reference evaluates the raw 'model'
@@ -51,6 +79,16 @@ def load_params(cfg: Config, model, model_cfg):
     from ..train.state import make_optimizer
 
     mgr = CheckpointManager(path)
+    mismatches = check_metadata_compat(mgr.metadata(), cfg)
+    if mismatches:
+        msg = ("checkpoint/eval config mismatch:\n  "
+               + "\n  ".join(mismatches)
+               + "\n(the reference's '4_Fail' run journaled 18k images at "
+               "0.0000 accuracy this way; pass eval.allow_mismatch=true "
+               "to proceed anyway)")
+        if not cfg.eval.allow_mismatch:
+            raise SystemExit(msg)
+        print(f"WARNING: {msg}", file=sys.stderr)
     tmpl = create_train_state(model, model_cfg, jax.random.key(0),
                               make_optimizer())
     state = mgr.restore(tmpl)

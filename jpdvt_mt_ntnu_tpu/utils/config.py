@@ -125,6 +125,10 @@ class EvalConfig:
     seed: int = 0
     assignment: str = "greedy"        # greedy | hungarian
     use_ema: bool = True
+    # Evaluate despite a checkpoint-metadata/config conflict (model name,
+    # image size, grid) — guards against the reference's '4_Fail' class of
+    # silent-garbage runs (SURVEY.md §6).
+    allow_mismatch: bool = False
     logs_dir: str = "logs"
     results_dir: str = "eval_out"
     save_images: bool = False
