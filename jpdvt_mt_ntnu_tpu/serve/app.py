@@ -231,7 +231,7 @@ def serve_stdlib(cfg: Optional[ServiceConfig] = None, host: str = "0.0.0.0",
     server.serve_forever()
 
 
-if __name__ == "__main__":
+def main(argv=None) -> int:
     import argparse
 
     ap = argparse.ArgumentParser()
@@ -240,7 +240,7 @@ if __name__ == "__main__":
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--mode", default="faithful")
     ap.add_argument("--steps", type=int, default=250)
-    a = ap.parse_args()
+    a = ap.parse_args(argv)
     cfg = ServiceConfig(checkpoint=a.checkpoint, sampler_mode=a.mode,
                         sampling_steps=a.steps)
     if app is not None:
@@ -250,3 +250,8 @@ if __name__ == "__main__":
         uvicorn.run(create_fastapi_app(cfg), host=a.host, port=a.port)
     else:
         serve_stdlib(cfg, a.host, a.port)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
