@@ -40,14 +40,20 @@ def check_metadata_compat(metadata: dict, cfg: Config) -> list[str]:
     tcfg = (metadata or {}).get("config") or {}
     tm = tcfg.get("model") or {}
     tt = tcfg.get("task") or {}
+    # A multi-grid checkpoint (task.multi_grid="3,4,6") is valid at every
+    # grid it trained on.
+    trained_grids = [int(g) for g in str(tt.get("multi_grid") or "").split(",")
+                     if g] or [tt.get("grid_size")]
     out = []
     for label, trained, using in (
             ("model.name", tm.get("name"), cfg.model.name),
-            ("model.image_size", tm.get("image_size"), cfg.model.image_size),
-            ("task.grid_size", tt.get("grid_size"), cfg.task.grid_size)):
+            ("model.image_size", tm.get("image_size"), cfg.model.image_size)):
         if trained is not None and trained != using:
             out.append(f"{label}: checkpoint was trained with {trained!r}, "
                        f"evaluating with {using!r}")
+    if trained_grids != [None] and cfg.task.grid_size not in trained_grids:
+        out.append(f"task.grid_size: checkpoint was trained with "
+                   f"{trained_grids!r}, evaluating with {cfg.task.grid_size!r}")
     return out
 
 

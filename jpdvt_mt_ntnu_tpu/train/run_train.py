@@ -165,24 +165,42 @@ def main(argv=None) -> int:
     optimizer = make_optimizer(cfg.train.lr, cfg.train.weight_decay,
                                cfg.train.grad_clip)
     grid = cfg.task.grid_size
-    task = TrainTask(
-        grid_size=grid,
-        block_size=cfg.model.image_size // grid,
-        patch_size=model_cfg.patch_size,
-        add_mask=cfg.task.add_mask,
-        shared_perm=cfg.task.shared_perm,
-        ema_decay=cfg.train.ema_decay,
-        ema_warmup=cfg.train.ema_warmup,
-        crop_pieces=cfg.model.image_size // grid if cfg.task.crop else None,
-        t_bias=cfg.train.t_bias,
-    )
-    piece_code = jnp.asarray(grid_code(model_cfg.code_dim, grid))
+    # Multi-grid: the DiT is grid-agnostic (grid only affects the jigsaw
+    # task wiring), so one parameter set can train on several grids at
+    # once — one jitted step per grid, cycled per training step. The
+    # reference needs a separate model/trainer per grid.
+    grids = ([int(g) for g in str(cfg.task.multi_grid).split(",") if g]
+             if cfg.task.multi_grid else [grid])
+    for g in grids:
+        toks = cfg.model.image_size // model_cfg.patch_size
+        if cfg.model.image_size % g or toks % g:
+            raise SystemExit(
+                f"task grid {g} must divide image_size "
+                f"({cfg.model.image_size}) and tokens/side ({toks})")
+
+    def make_task(g: int) -> TrainTask:
+        return TrainTask(
+            grid_size=g,
+            block_size=cfg.model.image_size // g,
+            patch_size=model_cfg.patch_size,
+            add_mask=cfg.task.add_mask,
+            shared_perm=cfg.task.shared_perm,
+            ema_decay=cfg.train.ema_decay,
+            ema_warmup=cfg.train.ema_warmup,
+            crop_pieces=cfg.model.image_size // g if cfg.task.crop else None,
+            t_bias=cfg.train.t_bias,
+        )
+
     # Plain AdamW (no grad clip) takes the single-pass fused update path
     # (state.fused_adamw_ema); clipped runs keep the general optax chain.
     fused = (dict(lr=cfg.train.lr, weight_decay=cfg.train.weight_decay)
              if cfg.train.grad_clip is None else None)
-    train_step = make_train_step(model, diffusion, optimizer, task, piece_code,
-                                 fused_adamw=fused)
+    grid_steps = [
+        make_train_step(model, diffusion, optimizer, make_task(g),
+                        jnp.asarray(grid_code(model_cfg.code_dim, g)),
+                        fused_adamw=fused)
+        for g in grids
+    ]
 
     state = create_train_state(model, model_cfg, jax.random.key(cfg.train.global_seed),
                                optimizer)
@@ -213,10 +231,22 @@ def main(argv=None) -> int:
         logger.info(f"Resumed from step {int(state.step)}")
 
     loader, val_ds = build_datasets(cfg)
-    validator = Validator(model, model_cfg, grid_size=grid,
-                          sampling_steps=cfg.diffusion.sampling_steps,
-                          sampler_mode=cfg.diffusion.sampler_mode,
-                          crop_pieces=task.crop_pieces)
+    validators = {
+        g: Validator(model, model_cfg, grid_size=g,
+                     sampling_steps=cfg.diffusion.sampling_steps,
+                     sampler_mode=cfg.diffusion.sampler_mode,
+                     crop_pieces=cfg.model.image_size // g
+                     if cfg.task.crop else None)
+        for g in grids
+    }
+
+    def validate_all(params, ds) -> dict:
+        out = {}
+        for g, v in validators.items():
+            m = v(params, ds)
+            out.update(m if len(grids) == 1
+                       else {f"{k}_g{g}": val for k, val in m.items()})
+        return out
     rng = jax.random.key(cfg.train.global_seed)
 
     device_data = None
@@ -310,7 +340,8 @@ def main(argv=None) -> int:
         for batch in epoch_batches(epoch):
             if guard.preempted:
                 break
-            state, metrics = train_step(state, batch, rng)
+            state, metrics = grid_steps[step % len(grid_steps)](
+                state, batch, rng)
             window_losses.append(metrics["loss"])
             step += 1
             if step % cfg.train.log_every == 0:
@@ -333,13 +364,13 @@ def main(argv=None) -> int:
                 logger.info(f"Saved checkpoint at step {step}")
             val_every = cfg.train.val_every or cfg.train.ckpt_every
             if step % val_every == 0:
-                val = validator(state.ema_params, val_ds)
+                val = validate_all(state.ema_params, val_ds)
                 # EMA decay .9999 needs ~20k steps to converge to the
                 # trained function; early-run EMA solves are near-init
                 # garbage. Validate the RAW weights too so fast-converging
                 # runs aren't misread as failures (same compiled program).
                 raw = {f"raw_{k}": v
-                       for k, v in validator(state.params, val_ds).items()}
+                       for k, v in validate_all(state.params, val_ds).items()}
                 logger.info(f"Validation: {val} | raw: {raw}")
                 writer.log({**val, **raw}, step)
                 # Don't bill validation time to steps/s: flush the loss
@@ -362,7 +393,7 @@ def main(argv=None) -> int:
         logger.info(f"Preempted: checkpoint saved at step {step}")
         writer.finish(summary={"preempted_at_step": step})
         return PREEMPTED_EXIT
-    val = validator(state.ema_params, val_ds)
+    val = validate_all(state.ema_params, val_ds)
     logger.info(f"Final validation: {val}")
     writer.finish(summary=val)
     ckpt.wait()

@@ -53,6 +53,12 @@ class DiffusionConfig:
 @dataclasses.dataclass
 class TaskConfig:
     grid_size: int = 3
+    # Multi-grid training: comma-separated grids (e.g. "3,4,6,12") cycled
+    # per step so ONE checkpoint solves every listed grid — the reference
+    # trains a separate model per grid (train_JPDVT.py vs
+    # train_JPDVT_4x4.py). Every grid must divide image_size/patch_size.
+    # Empty = single-grid (grid_size; reference parity).
+    multi_grid: str = ""
     add_mask: bool = False
     shared_perm: bool = True
     crop: bool = False                # ImageNet inner-piece crop path

@@ -32,6 +32,49 @@ def test_run_train_synthetic(tmp_path, monkeypatch):
     assert (exp / "checkpoints").exists()
 
 
+def test_run_train_multi_grid(tmp_path, monkeypatch):
+    """task.multi_grid="2,3": one parameter set trains on both grids
+    (steps cycle per grid) and validation reports per-grid metrics. The
+    reference needs a separate model per grid (train_JPDVT.py vs
+    train_JPDVT_4x4.py)."""
+    monkeypatch.chdir(tmp_path)
+    from jpdvt_mt_ntnu_tpu.train.run_train import main
+
+    rc = main([
+        "data.dataset=synthetic", "data.global_batch_size=8",
+        "data.num_workers=2",
+        # 96px / patch 16 = 6 tokens/side -> grids 2 and 3 both divide
+        "model.image_size=96", "model.depth=1", "model.hidden_size=32",
+        "model.num_heads=2", "model.attn_impl=xla",
+        "model.compute_dtype=float32",
+        "task.grid_size=2", "task.multi_grid=2,3",
+        "train.epochs=1", "train.log_every=5", "train.ckpt_every=1000000",
+        f"train.results_dir={tmp_path}/results",
+        "diffusion.sampling_steps=4",
+    ])
+    assert rc == 0
+    runs = os.listdir(tmp_path / "results")
+    exp = tmp_path / "results" / runs[0]
+    metrics = [json.loads(l) for l in open(exp / "metrics.jsonl")]
+    text = str(metrics)
+    assert "val_puzzle_acc_g2" in text and "val_puzzle_acc_g3" in text
+
+
+def test_run_train_multi_grid_rejects_bad_grid(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from jpdvt_mt_ntnu_tpu.train.run_train import main
+
+    with pytest.raises(SystemExit, match="must divide"):
+        # 96px / patch 16 = 6 tokens/side; grid 4 divides 96 but not 6
+        main([
+            "data.dataset=synthetic", "data.global_batch_size=8",
+            "model.image_size=96", "model.depth=1", "model.hidden_size=32",
+            "model.num_heads=2", "model.attn_impl=xla",
+            "task.multi_grid=2,4",
+            f"train.results_dir={tmp_path}/results",
+        ])
+
+
 def test_run_train_crop_validation(tmp_path, monkeypatch):
     """task.crop=true: validation must inner-crop val images to the model
     size (regression: 288px batches fed to a crop-trained 192px... here

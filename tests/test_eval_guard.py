@@ -35,6 +35,19 @@ def test_compat_reports_each_field():
     assert any("grid_size" in ln for ln in lines)
 
 
+def test_compat_multi_grid_membership():
+    """A multi-grid checkpoint is valid at every grid it trained on."""
+    meta = _meta()
+    meta["config"]["task"]["multi_grid"] = "3,4,6,12"
+    cfg = Config()
+    for g in (3, 4, 6, 12):
+        cfg.task.grid_size = g
+        assert check_metadata_compat(meta, cfg) == []
+    cfg.task.grid_size = 8
+    lines = check_metadata_compat(meta, cfg)
+    assert len(lines) == 1 and "grid_size" in lines[0]
+
+
 def test_compat_tolerates_absent_metadata():
     # Old/foreign checkpoints without metadata must stay loadable.
     assert check_metadata_compat({}, Config()) == []
