@@ -1,5 +1,6 @@
 from .mesh import (  # noqa: F401
     MeshSpec,
+    batch_axes,
     initialize_distributed,
     local_batch_size,
     make_mesh,

@@ -9,6 +9,13 @@ collectives. This module is the explicit, testable home for that decision
 
 Axes:
 - ``data``   batch data parallelism (the only parallelism the reference has);
+- ``fsdp``   optional ZeRO-style fully-sharded data parallelism: batch is
+             sharded over it like 'data', but params/EMA/optimizer moments
+             are ALSO sharded over it (parallel/sharding.py), so per-chip
+             state memory scales 1/fsdp — XLA inserts the per-layer weight
+             all-gathers and gradient reduce-scatters. Only present in the
+             mesh when fsdp > 1, so pure-DP/TP meshes (and their compiled
+             HLO) are bit-identical to earlier rounds.
 - ``model``  optional tensor parallelism over attention heads / MLP hidden
              (not needed for parity — the flagship is ~90M params — but
              exposed so the same train step scales, SURVEY.md §2.2).
@@ -25,45 +32,60 @@ from jax.sharding import Mesh
 
 @dataclasses.dataclass(frozen=True)
 class MeshSpec:
-    """How to carve the available devices into (data, model) axes."""
+    """How to carve the available devices into (data[, fsdp], model) axes."""
 
     data: int = -1   # -1 = all remaining devices
     model: int = 1
+    fsdp: int = 1    # >1 adds the 'fsdp' axis (ZeRO-sharded params/opt)
 
-    def resolve(self, n_devices: int) -> tuple[int, int]:
+    def resolve(self, n_devices: int) -> tuple[int, ...]:
         model = max(1, self.model)
-        data = self.data if self.data > 0 else n_devices // model
-        if data * model != n_devices:
+        fsdp = max(1, self.fsdp)
+        data = self.data if self.data > 0 else n_devices // (model * fsdp)
+        shape = (data, fsdp, model) if fsdp > 1 else (data, model)
+        if data * fsdp * model != n_devices:
             raise ValueError(
-                f"mesh {data}x{model} does not cover {n_devices} devices")
-        return data, model
+                f"mesh {'x'.join(map(str, shape))} does not cover "
+                f"{n_devices} devices")
+        return shape
 
 
 def make_mesh(spec: MeshSpec | None = None, devices=None) -> Mesh:
-    """Build a 2-D ('data', 'model') mesh over the given devices.
+    """Build a ('data'[, 'fsdp'], 'model') mesh over the given devices.
 
     Uses ``mesh_utils.create_device_mesh`` when possible so the axes align
     with the physical ICI topology (contiguous model groups ride the fastest
-    links); falls back to a plain reshape on virtual/CPU devices.
+    links); falls back to a plain reshape on virtual/CPU devices. The
+    'fsdp' axis sits between 'data' and 'model' (weight all-gathers are
+    per-layer and overlap with compute; TP's per-sublayer activation
+    collectives stay on the innermost, fastest rings).
     """
     spec = spec or MeshSpec()
     devices = list(devices if devices is not None else jax.devices())
-    data, model = spec.resolve(len(devices))
+    shape = spec.resolve(len(devices))
+    names = ("data", "fsdp", "model") if len(shape) == 3 else ("data", "model")
     try:
         from jax.experimental import mesh_utils
 
-        dev_array = mesh_utils.create_device_mesh((data, model),
-                                                  devices=devices)
+        dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
     except Exception:
-        dev_array = np.asarray(devices).reshape(data, model)
-    return Mesh(dev_array, axis_names=("data", "model"))
+        dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names=names)
+
+
+def batch_axes(mesh: Mesh) -> tuple[str, ...]:
+    """Mesh axes the batch dim is sharded over ('fsdp' acts as extra DP)."""
+    return (("data", "fsdp") if "fsdp" in mesh.axis_names else ("data",))
 
 
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:
     """Per-data-shard batch (reference's per-rank batch, train_JPDVT.py:311)."""
-    n = mesh.shape["data"]
+    n = 1
+    for ax in batch_axes(mesh):
+        n *= mesh.shape[ax]
     if global_batch % n:
-        raise ValueError(f"global batch {global_batch} not divisible by data={n}")
+        raise ValueError(
+            f"global batch {global_batch} not divisible by data shards={n}")
     return global_batch // n
 
 

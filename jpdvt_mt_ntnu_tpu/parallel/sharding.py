@@ -10,6 +10,16 @@ the DiT blocks: qkv/fc1 shard their OUTPUT feature dim, proj/fc2 shard their
 INPUT feature dim, so each block needs exactly one reduction per sublayer,
 inserted by GSPMD. Note: the Pallas attention kernel is not GSPMD-
 partitionable — use ``attn_impl='xla'`` whenever model-axis > 1.
+
+Fully-sharded data parallelism (optional 'fsdp' axis): the batch shards
+over ('data','fsdp') combined, and every weight matrix ADDITIONALLY shards
+its largest still-free divisible dim over 'fsdp' — so params, EMA and the
+adam moments occupy 1/fsdp of each chip (ZeRO-3). GSPMD turns the
+annotations into per-layer weight all-gathers in the forward/backward and
+gradient reduce-scatters, the same program Megatron-LM/FairScale build by
+hand (reference has neither: plain DDP replicates everything,
+train_JPDVT.py:231). Leaves whose dims don't divide stay replicated —
+correctness never depends on divisibility.
 """
 
 from __future__ import annotations
@@ -39,12 +49,32 @@ def _spec_for(path: tuple[str, ...], ndim: int) -> P:
     return P()
 
 
+def _with_fsdp(spec: P, shape: tuple[int, ...], fsdp: int) -> P:
+    """Augment a TP spec with 'fsdp' on the largest free divisible dim.
+
+    Only >=2-D leaves shard (the memory is in the matrices; sharding tiny
+    1-D scales/biases would buy nothing and cost a collective each)."""
+    if fsdp <= 1 or len(shape) < 2:
+        return spec
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    free = [i for i, (e, d) in enumerate(zip(entries, shape))
+            if e is None and d % fsdp == 0]
+    if not free:
+        return spec
+    entries[max(free, key=lambda i: shape[i])] = "fsdp"
+    return P(*entries)
+
+
 def param_shardings(params: Any, mesh: Mesh) -> Any:
-    """Pytree of NamedShardings for a DiT param tree (TP on 'model' axis)."""
+    """Pytree of NamedShardings for a DiT param tree (TP on 'model' axis,
+    ZeRO param sharding on the 'fsdp' axis when the mesh carries one)."""
+    fsdp = mesh.shape["fsdp"] if "fsdp" in mesh.axis_names else 1
+
+    def spec(path, leaf):
+        return _with_fsdp(_spec_for(path, leaf.ndim), leaf.shape, fsdp)
+
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _spec_for(path, leaf.ndim)),
-        params,
-    )
+        lambda path, leaf: NamedSharding(mesh, spec(path, leaf)), params)
 
 
 def state_shardings(state: Any, mesh: Mesh) -> Any:
@@ -66,8 +96,13 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
-    """Shard the leading (batch) dim over 'data', replicate the rest."""
-    return NamedSharding(mesh, P(*(("data",) + (None,) * (ndim - 1))))
+    """Shard the leading (batch) dim over 'data' (and 'fsdp' when present),
+    replicate the rest."""
+    from .mesh import batch_axes
+
+    axes = batch_axes(mesh)
+    lead = axes[0] if len(axes) == 1 else axes
+    return NamedSharding(mesh, P(*((lead,) + (None,) * (ndim - 1))))
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:

@@ -146,14 +146,17 @@ def main(argv=None) -> int:
                                 f"grid{cfg.task.grid_size}"])
     logger.info(f"Config:\n{cfg.to_json()}")
 
-    mesh = make_mesh(MeshSpec(cfg.mesh.data, cfg.mesh.model))
+    mesh = make_mesh(MeshSpec(cfg.mesh.data, cfg.mesh.model,
+                              fsdp=cfg.mesh.fsdp))
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
     attn_impl = cfg.model.attn_impl
-    if mesh.shape["model"] > 1 and attn_impl != "xla":
+    if (mesh.shape["model"] > 1 or "fsdp" in mesh.axis_names) \
+            and attn_impl != "xla":
         # The Pallas attention kernels are not GSPMD-partitionable over the
-        # 'model' axis; XLA einsum attention shards head-wise for free.
-        logger.info("mesh.model>1: forcing attn_impl=xla (Pallas kernels "
-                    "are not partitionable over the model axis)")
+        # 'model' axis (and would force replication of fsdp-sharded
+        # operands); XLA einsum attention shards head-wise for free.
+        logger.info("mesh.model/fsdp>1: forcing attn_impl=xla (Pallas "
+                    "kernels are not GSPMD-partitionable)")
         attn_impl = "xla"
     model, model_cfg = create_model(cfg.model.name, cfg.model.image_size,
                                     dtype=dtype, attn_impl=attn_impl,
@@ -207,8 +210,11 @@ def main(argv=None) -> int:
     # Tensor parallelism for real: params, EMA AND optimizer moments are
     # placed with the Megatron specs (parallel/sharding.py) — with
     # mesh.model>1 each chip holds 1/model of every sharded matrix and XLA
-    # inserts the per-sublayer reductions. mesh.model=1 degenerates to
-    # replicated (pure DP), identical to the reference's DDP.
+    # inserts the per-sublayer reductions. mesh.fsdp>1 additionally
+    # ZeRO-shards the whole state over the 'fsdp' axis (per-layer weight
+    # all-gathers + gradient reduce-scatters, inserted by GSPMD).
+    # mesh.model=fsdp=1 degenerates to replicated (pure DP), identical to
+    # the reference's DDP.
     from ..parallel import state_shardings
 
     state_sharding = state_shardings(state, mesh)

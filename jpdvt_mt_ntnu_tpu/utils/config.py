@@ -145,6 +145,9 @@ class EvalConfig:
 class MeshConfig:
     data: int = -1
     model: int = 1
+    # >1 fully-shards params/EMA/optimizer state over an extra 'fsdp' mesh
+    # axis (ZeRO-3); the batch shards over data x fsdp combined.
+    fsdp: int = 1
     # Multi-host bring-up (the reference's unconditional
     # dist.init_process_group, train_JPDVT.py:111). "auto" initializes
     # jax.distributed when a cluster is detectable (explicit coordinator

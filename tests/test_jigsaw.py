@@ -86,7 +86,7 @@ def test_shared_vs_per_sample_perms():
 
 
 @pytest.mark.parametrize("grid,sub", [(2, 3), (3, 2), (4, 1), (5, 2),
-                                      (6, 2), (8, 1), (12, 1)])
+                                      (6, 2), (8, 1), (12, 1), (16, 1)])
 def test_arbitrary_grid_roundtrips(grid, sub):
     """Every jigsaw op is grid-parameterized (the reference hard-codes 3
     and 4); pin piece/scramble/code roundtrips for grids the reference
