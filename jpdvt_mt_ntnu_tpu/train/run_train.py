@@ -201,7 +201,8 @@ def main(argv=None) -> int:
     grid_steps = [
         make_train_step(model, diffusion, optimizer, make_task(g),
                         jnp.asarray(grid_code(model_cfg.code_dim, g)),
-                        fused_adamw=fused)
+                        fused_adamw=fused,
+                        grad_accum=cfg.train.grad_accum, mesh=mesh)
         for g in grids
     ]
 

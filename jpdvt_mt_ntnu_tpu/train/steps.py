@@ -56,7 +56,9 @@ class TrainTask:
 def make_train_step(model, diffusion: Diffusion, optimizer: optax.GradientTransformation,
                     task: TrainTask, piece_code: jnp.ndarray,
                     donate: bool = True,
-                    fused_adamw: dict | None = None) -> Callable:
+                    fused_adamw: dict | None = None,
+                    grad_accum: int = 1,
+                    mesh=None) -> Callable:
     """Build ``train_step(state, images, rng) -> (state, metrics)``.
 
     images: (B, H, W, C) clean images in [-1, 1], NHWC, batch-sharded or not.
@@ -70,6 +72,21 @@ def make_train_step(model, diffusion: Diffusion, optimizer: optax.GradientTransf
     describe the SAME optimizer that built ``state.opt_state``;
     ``optimizer`` is then only used as a fallback documentation of
     intent. None = the plain optax chain.
+
+    grad_accum: >1 runs the forward/backward as a ``lax.scan`` over
+    ``grad_accum`` microbatches of B/grad_accum samples and applies ONE
+    AdamW+EMA update on the averaged gradients — the reference's batch-96
+    recipe (train_JPDVT.py:311) on hardware whose HBM can't hold the
+    batch-96 activations. Activation memory scales with the microbatch;
+    the cost is one params-sized fp32 accumulator. The update math is
+    identical to the monolithic step (mean of microbatch means; tested in
+    tests/test_grad_accum.py); the per-sample noise draws differ from the
+    monolithic step's only through RNG key fan-out.
+
+    mesh: optional device mesh; with grad_accum>1 it pins each microbatch
+    to the same batch sharding the monolithic step uses (scan dim
+    replicated, sample dim over the data/fsdp axes) so DP/FSDP/TP all
+    compose with accumulation.
     """
 
     def loss_fn(params, images, t, rng):
@@ -110,8 +127,52 @@ def make_train_step(model, diffusion: Diffusion, optimizer: optax.GradientTransf
         else:
             t = jax.random.randint(k_t, (b,), 0, diffusion.schedule.T)
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, images, t, k_loss)
+        if grad_accum > 1:
+            if b % grad_accum:
+                raise ValueError(
+                    f"batch {b} not divisible by grad_accum={grad_accum}")
+            micro = b // grad_accum
+
+            def to_micro(x):
+                x = x.reshape(grad_accum, micro, *x.shape[1:])
+                if mesh is not None:
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
+
+                    from ..parallel.mesh import batch_axes
+
+                    axes = batch_axes(mesh)
+                    lead = axes[0] if len(axes) == 1 else axes
+                    spec = P(*((None, lead) + (None,) * (x.ndim - 2)))
+                    x = jax.lax.with_sharding_constraint(
+                        x, NamedSharding(mesh, spec))
+                return x
+
+            def body(carry, xs):
+                g_acc, l_acc, cm_acc, im_acc = carry
+                im, tt, kk = xs
+                (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, im, tt, kk)
+                return (jax.tree.map(jnp.add, g_acc, g), l_acc + l,
+                        cm_acc + aux["code_mse"].mean(),
+                        im_acc + aux["img_mse"].mean()), None
+
+            zeros = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            (g_sum, l_sum, cm_sum, im_sum), _ = jax.lax.scan(
+                body,
+                (zeros, jnp.float32(0), jnp.float32(0), jnp.float32(0)),
+                (to_micro(images), t.reshape(grad_accum, micro),
+                 jax.random.split(k_loss, grad_accum)))
+            grads = jax.tree.map(lambda g: g / grad_accum, g_sum)
+            loss = l_sum / grad_accum
+            aux_means = {"code_mse": cm_sum / grad_accum,
+                         "img_mse": im_sum / grad_accum}
+        else:
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, images, t, k_loss)
+            aux_means = {"code_mse": aux["code_mse"].mean(),
+                         "img_mse": aux["img_mse"].mean()}
         if task.ema_warmup:
             s = (state.step + 1).astype(jnp.float32)
             ema_decay = jnp.minimum(task.ema_decay, (1.0 + s) / (10.0 + s))
@@ -133,8 +194,7 @@ def make_train_step(model, diffusion: Diffusion, optimizer: optax.GradientTransf
                                ema_params=ema, opt_state=opt_state)
         metrics = {
             "loss": loss,
-            "code_mse": aux["code_mse"].mean(),
-            "img_mse": aux["img_mse"].mean(),
+            **aux_means,
             "grad_norm": optax.global_norm(grads),
         }
         return new_state, metrics

@@ -108,6 +108,11 @@ class TrainConfig:
     # checkpoints carry a usable average (reference parity = fixed decay).
     ema_warmup: bool = False
     grad_clip: Optional[float] = None
+    # >1 scans the step over this many microbatches of
+    # global_batch_size/grad_accum samples and applies one update on the
+    # averaged grads — the reference's batch-96 recipe on devices whose
+    # HBM can't hold the full-batch activations.
+    grad_accum: int = 1
     t_bias: float = 0.0               # >0 skews timestep draws toward high t
     log_every: int = 100
     ckpt_every: int = 50_000

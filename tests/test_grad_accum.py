@@ -1,0 +1,154 @@
+"""Gradient accumulation: B/grad_accum microbatches scanned in one jit.
+
+The reference trains at global batch 96 (image_model/train_JPDVT.py:311)
+and has no way to reproduce that recipe when the activations don't fit —
+PyTorch users hand-roll the loss/accum loop. Here ``train.grad_accum``
+runs the forward/backward as a ``lax.scan`` over microbatches inside the
+SAME jitted step and applies one AdamW+EMA update on the averaged grads
+(train/steps.py). These tests pin that
+
+- the accumulated update is EXACTLY the optimizer applied to the mean of
+  the per-microbatch gradients (same key fan-out, same summation order);
+- training still learns (loss decreases) with accumulation on, for both
+  optimizer paths (optax chain + fused AdamW/EMA);
+- accumulation composes with the mesh: DP-sharded and dp x fsdp x tp
+  runs reproduce the unsharded accum losses step-for-step;
+- the production CLI trains with train.grad_accum=2.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from jpdvt_mt_ntnu_tpu.core.diffusion import create_diffusion
+from jpdvt_mt_ntnu_tpu.models import create_model
+from jpdvt_mt_ntnu_tpu.parallel import MeshSpec, make_mesh, shard_batch
+from jpdvt_mt_ntnu_tpu.train import create_train_state, make_train_step
+from jpdvt_mt_ntnu_tpu.train.state import make_optimizer
+from jpdvt_mt_ntnu_tpu.train.steps import TrainTask
+from jpdvt_mt_ntnu_tpu.utils.pos_embed import grid_code
+
+
+def _setup(accum=1, mesh=None, fused=False, lr=2e-3, opt=None):
+    model, cfg = create_model("JPDVT", input_size=48, depth=1,
+                              hidden_size=64, num_heads=4, attn_impl="xla")
+    diff = create_diffusion("")
+    opt = opt or make_optimizer(lr=lr)
+    state = create_train_state(model, cfg, jax.random.key(0), opt)
+    task = TrainTask(grid_size=3, block_size=16, patch_size=cfg.patch_size,
+                     shared_perm=False)
+    code = jnp.asarray(grid_code(8, 3))
+    step = make_train_step(
+        model, diff, opt, task, code, donate=False,
+        fused_adamw=dict(lr=lr, weight_decay=0.0) if fused else None,
+        grad_accum=accum, mesh=mesh)
+    return model, cfg, diff, opt, state, task, code, step
+
+
+def test_accum_update_is_mean_of_microbatch_grads():
+    """Replicate the step's key fan-out outside the scan and assert the
+    updated params match the optimizer applied to the averaged grads.
+
+    Uses SGD so the update is LINEAR in the gradients: with AdamW a 1-ULP
+    fp32 difference on a near-zero gradient (jitted scan vs eager
+    recompute fuse differently) flips the +-lr*sign update of that one
+    element, which says nothing about the accumulation math."""
+    accum, b = 4, 8
+    model, cfg, diff, opt, state, task, code, step = _setup(
+        accum=accum, opt=optax.sgd(2e-3))
+    x = jax.random.normal(jax.random.key(2), (b, 48, 48, 3)) * 0.5
+    rng = jax.random.key(1)
+    new_state, metrics = step(state, x, rng)
+
+    # The step derives: fold_in(rng, step) -> split -> (k_t, k_loss);
+    # uniform t over the full batch; split(k_loss, accum) per microbatch.
+    k_t, k_loss = jax.random.split(jax.random.fold_in(rng, 0))
+    t = jax.random.randint(k_t, (b,), 0, diff.schedule.T)
+    keys = jax.random.split(k_loss, accum)
+
+    def loss_fn(params, im, tt, kk):
+        out = diff.training_losses(
+            lambda xx, tt_orig, cc: model.apply(params, xx, tt_orig, cc),
+            im, tt, code, kk, block_size=task.block_size,
+            patch_size=task.patch_size, add_mask=False,
+            grid_size=task.grid_size, shared_perm=task.shared_perm)
+        return out["loss"].mean()
+
+    micro = b // accum
+    vg = jax.value_and_grad(loss_fn)
+    losses, grads = zip(*[
+        vg(state.params, x[i * micro:(i + 1) * micro],
+           t[i * micro:(i + 1) * micro], keys[i]) for i in range(accum)])
+    # Same left-to-right summation order as the scan carry.
+    mean_g = jax.tree.map(
+        lambda *g: sum(g[1:], start=g[0].astype(jnp.float32)) / accum, *grads)
+    updates, _ = opt.update(mean_g, state.opt_state, state.params)
+    expect = optax.apply_updates(state.params, updates)
+
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(sum(losses)) / accum, rtol=1e-6)
+    for a, e in zip(jax.tree.leaves(new_state.params),
+                    jax.tree.leaves(expect)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-5, atol=1e-7)
+    assert int(new_state.step) == 1
+
+
+@pytest.mark.parametrize("fused", [False, True], ids=["optax", "fused_adamw"])
+def test_loss_decreases_with_accum(fused):
+    _, _, _, _, state, _, _, step = _setup(accum=2, fused=fused)
+    x = jax.random.normal(jax.random.key(2), (8, 48, 48, 3)) * 0.5
+    rng = jax.random.key(1)
+    losses = []
+    for _ in range(30):
+        state, m = step(state, x, rng)
+        losses.append(float(m["loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8, losses
+
+
+def _run_accum(mesh, n_steps=3):
+    _, _, _, _, state, _, _, step = _setup(accum=2, mesh=mesh, fused=True)
+    losses = []
+    for i in range(n_steps):
+        x = jax.random.normal(jax.random.key(100 + i), (16, 48, 48, 3)) * 0.5
+        if mesh is not None:
+            x = shard_batch({"x": x}, mesh)["x"]
+        state, m = step(state, x, jax.random.key(1))
+        losses.append(float(m["loss"]))
+    return losses
+
+
+def test_accum_composes_with_mesh():
+    """Accumulation under DP and under dp x fsdp x tp reproduces the
+    unsharded accum losses step-for-step (fp32)."""
+    base = _run_accum(None)
+    np.testing.assert_allclose(_run_accum(make_mesh(MeshSpec(data=8))),
+                               base, rtol=2e-5)
+    np.testing.assert_allclose(
+        _run_accum(make_mesh(MeshSpec(data=2, model=2, fsdp=2))),
+        base, rtol=2e-5)
+
+
+def test_batch_must_divide():
+    _, _, _, _, state, _, _, step = _setup(accum=3)
+    x = jnp.zeros((8, 48, 48, 3))
+    with pytest.raises(ValueError, match="grad_accum"):
+        step(state, x, jax.random.key(0))
+
+
+def test_run_train_cli_with_grad_accum(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from jpdvt_mt_ntnu_tpu.train.run_train import main
+
+    assert main([
+        "data.dataset=synthetic", "data.global_batch_size=16",
+        "data.num_workers=2", "data.synthetic_n=16",
+        "model.image_size=48", "model.depth=1", "model.hidden_size=64",
+        "model.num_heads=4", "model.compute_dtype=float32",
+        "task.grid_size=3", "train.grad_accum=2",
+        "train.log_every=1", "train.ckpt_every=1000000", "train.epochs=1",
+        f"train.exp_dir={tmp_path}/exp",
+        "diffusion.sampling_steps=2", "diffusion.sampler_mode=fast",
+    ]) == 0
