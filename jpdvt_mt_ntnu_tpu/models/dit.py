@@ -56,6 +56,11 @@ class DiTConfig:
     dtype: Dtype = jnp.float32       # compute dtype
     param_dtype: Dtype = jnp.float32
     attn_impl: Optional[str] = None  # None = auto (pallas on TPU)
+    # "int8": weight+activation int8 on the large per-block projections
+    # (qkv / attn out / mlp fc1+fc2) via ops/quant.py — the v5e MXU's
+    # 2x-peak serving path. Params stay fp32; quantization is in-graph
+    # (checkpoints are dtype-identical to the bf16/fp32 paths).
+    quant: Optional[str] = None
 
     @property
     def out_channels(self) -> int:
@@ -106,9 +111,22 @@ class Mlp(nn.Module):
     out: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
+        if self.quant == "int8":
+            # Same param pytree paths as the nn.Dense modules below
+            # (fc1/fc2 -> kernel/bias), so checkpoints are interchangeable.
+            from ..ops.quant import int8_dense
+
+            k1, b1 = _LinearParams(x.shape[-1], self.hidden,
+                                   self.param_dtype, name="fc1")()
+            k2, b2 = _LinearParams(self.hidden, self.out,
+                                   self.param_dtype, name="fc2")()
+            h = nn.gelu(int8_dense(x.astype(self.dtype), k1, b1),
+                        approximate=True)
+            return int8_dense(h, k2, b2)
         x = nn.Dense(self.hidden, kernel_init=_xavier, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=True)
@@ -147,6 +165,7 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     attn_impl: Optional[str] = None
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -161,6 +180,15 @@ class Attention(nn.Module):
                                      self.param_dtype, name="qkv")()
         proj_k, proj_b = _LinearParams(self.hidden_size, self.hidden_size,
                                        self.param_dtype, name="proj")()
+        if self.quant == "int8":
+            # Quantized projections around the bf16 attention core: the
+            # score/value matmuls stay bf16 (tiny at N <= 324 and
+            # softmax-sensitive; ops/quant.py docstring).
+            from ..ops.quant import int8_dense
+
+            qkv = int8_dense(x.astype(dt), qkv_k, qkv_b)
+            o = fused_qkv_attention_xla(qkv, self.num_heads)
+            return int8_dense(o, proj_k, proj_b)
         impl = self.attn_impl or default_impl(x.shape[1])
         if impl == "xla_split":
             from ..ops.attention import split_qkv_attention_xla
@@ -207,6 +235,7 @@ class DiTBlock(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     attn_impl: Optional[str] = None
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, c):
@@ -220,9 +249,10 @@ class DiTBlock(nn.Module):
             dtype=self.dtype, param_dtype=self.param_dtype, name=name)
         attn = Attention(self.hidden_size, self.num_heads, dtype=self.dtype,
                          param_dtype=self.param_dtype, attn_impl=self.attn_impl,
-                         name="attn")
+                         quant=self.quant, name="attn")
         mlp = Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size,
-                  dtype=self.dtype, param_dtype=self.param_dtype, name="mlp")
+                  dtype=self.dtype, param_dtype=self.param_dtype,
+                  quant=self.quant, name="mlp")
         x = x + gate_msa[:, None] * attn(modulate(ln("norm1")(x), shift_msa, scale_msa))
         x = x + gate_mlp[:, None] * mlp(modulate(ln("norm2")(x), shift_mlp, scale_mlp))
         return x
@@ -312,7 +342,8 @@ class DiT(nn.Module):
         for i in range(cfg.depth):
             x = DiTBlock(cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
                          dtype=dt, param_dtype=cfg.param_dtype,
-                         attn_impl=cfg.attn_impl, name=f"block_{i}")(x, c)
+                         attn_impl=cfg.attn_impl, quant=cfg.quant,
+                         name=f"block_{i}")(x, c)
 
         x = FinalLayer(cfg.hidden_size, cfg.patch_dim, dtype=dt,
                        param_dtype=cfg.param_dtype, name="final_layer")(x, c)

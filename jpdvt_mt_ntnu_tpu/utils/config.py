@@ -23,6 +23,10 @@ class ModelConfig:
     # the MXU (the analogue of disabling the reference's TF32,
     # train_JPDVT.py:5-6); None keeps the backend default (fast).
     matmul_precision: Optional[str] = None
+    # "int8": quantized serving path (ops/quant.py) — weight+activation
+    # int8 on the big per-block matmuls. Eval/serve only; checkpoints are
+    # unchanged (quantization is in-graph from the fp32 params).
+    quant: str = ""
     # 0 = use the registry values; override for scaled-down smoke runs.
     depth: int = 0
     hidden_size: int = 0
@@ -30,6 +34,8 @@ class ModelConfig:
 
     def overrides(self) -> dict:
         out = {}
+        if self.quant:
+            out["quant"] = self.quant
         if self.depth:
             out["depth"] = self.depth
         if self.hidden_size:
