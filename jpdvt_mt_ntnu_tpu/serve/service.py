@@ -43,6 +43,10 @@ class ServiceConfig:
     sampler_mode: str = "faithful"
     seed: int = 0
     compute_dtype: str = "bfloat16"
+    # "int8": quantized matmuls on the DiT's large projections
+    # (ops/quant.py) — the v5e 2x-peak serving path. Checkpoints are
+    # unchanged (quantization is in-graph from the float params).
+    quant: str = ""
     # Request micro-batching: >0 enables a MicroBatcher that stacks
     # concurrent solve requests arriving within this window into ONE padded
     # device batch (see serve/plugins.py). 0 = one program per request.
@@ -90,6 +94,8 @@ class PuzzleService:
             overrides["hidden_size"] = cfg.hidden_size
         if cfg.num_heads:
             overrides["num_heads"] = cfg.num_heads
+        if cfg.quant:
+            overrides["quant"] = cfg.quant
         self.model, self.model_cfg = create_model(
             cfg.model_name, cfg.image_size, dtype=dtype, **overrides)
         self.params = self._load_params()

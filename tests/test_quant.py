@@ -156,3 +156,26 @@ def test_quant_config_plumbing():
     cfg = apply_overrides(Config(), ["model.quant=int8"])
     assert cfg.model.overrides()["quant"] == "int8"
     assert "quant" not in Config().model.overrides()
+
+
+def test_quant_service_solves():
+    """Serving path: ServiceConfig(quant='int8') serves a full
+    create->solve round trip with valid permutations."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    from jpdvt_mt_ntnu_tpu.serve.service import PuzzleService, ServiceConfig
+
+    svc = PuzzleService(ServiceConfig(
+        image_size=48, depth=1, hidden_size=32, num_heads=2,
+        sampling_steps=3, sampler_mode="fast", quant="int8",
+        compute_dtype="float32"))
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    out = svc.solve_puzzle(buf.getvalue())
+    assert sorted(out["details"]["predicted_order"]) == list(range(9))
+    Image.open(io.BytesIO(base64.b64decode(out["solution_image"])))
