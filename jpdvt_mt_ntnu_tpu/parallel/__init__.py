@@ -7,6 +7,14 @@ from .mesh import (  # noqa: F401
     maybe_initialize_distributed,
     process_shard,
 )
+from .pipeline import (  # noqa: F401
+    convert_state,
+    make_pipeline_apply,
+    pipeline_param_shardings,
+    pipeline_state_shardings,
+    stack_block_params,
+    unstack_block_params,
+)
 from .sharding import (  # noqa: F401
     batch_sharding,
     param_shardings,

@@ -32,22 +32,35 @@ from jax.sharding import Mesh
 
 @dataclasses.dataclass(frozen=True)
 class MeshSpec:
-    """How to carve the available devices into (data[, fsdp], model) axes."""
+    """How to carve the devices into ([pipe,] data[, fsdp], model) axes."""
 
     data: int = -1   # -1 = all remaining devices
     model: int = 1
     fsdp: int = 1    # >1 adds the 'fsdp' axis (ZeRO-sharded params/opt)
+    pipe: int = 1    # >1 adds the outermost 'pipe' axis (GPipe stages)
 
-    def resolve(self, n_devices: int) -> tuple[int, ...]:
+    def axis_sizes(self, n_devices: int) -> dict[str, int]:
         model = max(1, self.model)
         fsdp = max(1, self.fsdp)
-        data = self.data if self.data > 0 else n_devices // (model * fsdp)
-        shape = (data, fsdp, model) if fsdp > 1 else (data, model)
-        if data * fsdp * model != n_devices:
+        pipe = max(1, self.pipe)
+        data = (self.data if self.data > 0
+                else n_devices // (model * fsdp * pipe))
+        sizes = {"data": data, "model": model}
+        if fsdp > 1:
+            sizes = {"data": data, "fsdp": fsdp, "model": model}
+        if pipe > 1:
+            # Outermost: stage handoffs are point-to-point (one ppermute
+            # per tick), the lowest-bandwidth traffic in the program — they
+            # can ride the slowest links (or DCN between slices).
+            sizes = {"pipe": pipe, **sizes}
+        if data * fsdp * model * pipe != n_devices:
             raise ValueError(
-                f"mesh {'x'.join(map(str, shape))} does not cover "
+                f"mesh {'x'.join(map(str, sizes.values()))} does not cover "
                 f"{n_devices} devices")
-        return shape
+        return sizes
+
+    def resolve(self, n_devices: int) -> tuple[int, ...]:
+        return tuple(self.axis_sizes(n_devices).values())
 
 
 def make_mesh(spec: MeshSpec | None = None, devices=None) -> Mesh:
@@ -62,8 +75,9 @@ def make_mesh(spec: MeshSpec | None = None, devices=None) -> Mesh:
     """
     spec = spec or MeshSpec()
     devices = list(devices if devices is not None else jax.devices())
-    shape = spec.resolve(len(devices))
-    names = ("data", "fsdp", "model") if len(shape) == 3 else ("data", "model")
+    sizes = spec.axis_sizes(len(devices))
+    shape = tuple(sizes.values())
+    names = tuple(sizes.keys())
     try:
         from jax.experimental import mesh_utils
 

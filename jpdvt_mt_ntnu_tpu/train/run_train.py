@@ -147,10 +147,11 @@ def main(argv=None) -> int:
     logger.info(f"Config:\n{cfg.to_json()}")
 
     mesh = make_mesh(MeshSpec(cfg.mesh.data, cfg.mesh.model,
-                              fsdp=cfg.mesh.fsdp))
+                              fsdp=cfg.mesh.fsdp, pipe=cfg.mesh.pipe))
+    pipelined = "pipe" in mesh.axis_names
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
     attn_impl = cfg.model.attn_impl
-    if (mesh.shape["model"] > 1 or "fsdp" in mesh.axis_names) \
+    if (mesh.shape["model"] > 1 or "fsdp" in mesh.axis_names or pipelined) \
             and attn_impl != "xla":
         # The Pallas attention kernels are not GSPMD-partitionable over the
         # 'model' axis (and would force replication of fsdp-sharded
@@ -194,6 +195,25 @@ def main(argv=None) -> int:
             t_bias=cfg.train.t_bias,
         )
 
+    # Pipeline parallelism: the block stack runs the GPipe schedule over
+    # the 'pipe' axis (parallel/pipeline.py); the train step takes the
+    # pipelined forward as a drop-in apply_fn and the state moves to the
+    # stacked-blocks layout (converted back to the plain layout at every
+    # checkpoint boundary, so checkpoints stay interchangeable).
+    if pipelined:
+        from ..parallel.pipeline import (convert_state, make_pipeline_apply,
+                                         pipeline_state_shardings,
+                                         stack_block_params,
+                                         unstack_block_params)
+
+        apply_fn = make_pipeline_apply(
+            model_cfg, mesh, cfg.mesh.pipe_microbatches or None)
+        to_ckpt_layout = lambda s: convert_state(s, unstack_block_params)  # noqa: E731
+        plain_params = unstack_block_params
+    else:
+        apply_fn = None
+        to_ckpt_layout = plain_params = lambda s: s  # noqa: E731
+
     # Plain AdamW (no grad clip) takes the single-pass fused update path
     # (state.fused_adamw_ema); clipped runs keep the general optax chain.
     fused = (dict(lr=cfg.train.lr, weight_decay=cfg.train.weight_decay)
@@ -202,12 +222,15 @@ def main(argv=None) -> int:
         make_train_step(model, diffusion, optimizer, make_task(g),
                         jnp.asarray(grid_code(model_cfg.code_dim, g)),
                         fused_adamw=fused,
-                        grad_accum=cfg.train.grad_accum, mesh=mesh)
+                        grad_accum=cfg.train.grad_accum, mesh=mesh,
+                        apply_fn=apply_fn)
         for g in grids
     ]
 
     state = create_train_state(model, model_cfg, jax.random.key(cfg.train.global_seed),
                                optimizer)
+    if pipelined:
+        state = convert_state(state, stack_block_params)
     # Tensor parallelism for real: params, EMA AND optimizer moments are
     # placed with the Megatron specs (parallel/sharding.py) — with
     # mesh.model>1 each chip holds 1/model of every sharded matrix and XLA
@@ -218,7 +241,8 @@ def main(argv=None) -> int:
     # the reference's DDP.
     from ..parallel import state_shardings
 
-    state_sharding = state_shardings(state, mesh)
+    state_sharding = (pipeline_state_shardings(state, mesh) if pipelined
+                      else state_shardings(state, mesh))
     state = jax.device_put(state, state_sharding)
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     logger.info(f"{cfg.model.name}: {n_params / 1e6:.1f}M params, "
@@ -233,8 +257,15 @@ def main(argv=None) -> int:
                 f"train.resume={cfg.train.resume!r} contains no checkpoints "
                 "— refusing to silently restart from scratch")
         # Restored arrays land on one device; re-place them with the same
-        # (TP-aware) shardings the fresh state uses.
-        state = jax.device_put(ckpt.restore(state), state_sharding)
+        # (TP-aware) shardings the fresh state uses. Checkpoints are always
+        # written in the PLAIN param layout, so pipelined runs restore
+        # through a plain template and re-stack.
+        if pipelined:
+            restored = ckpt.restore(to_ckpt_layout(state))
+            state = jax.device_put(
+                convert_state(restored, stack_block_params), state_sharding)
+        else:
+            state = jax.device_put(ckpt.restore(state), state_sharding)
         logger.info(f"Resumed from step {int(state.step)}")
 
     loader, val_ds = build_datasets(cfg)
@@ -366,18 +397,20 @@ def main(argv=None) -> int:
                 # globally-sharded state — every host participates; only
                 # logging/metrics stay rank-0 (the reference's rank-0
                 # torch.save does not translate to sharded pytrees).
-                ckpt.save(state, metadata={"config": cfg.to_dict(),
+                ckpt.save(to_ckpt_layout(state),
+                          metadata={"config": cfg.to_dict(),
                                            "step": step} if is_main else None)
                 logger.info(f"Saved checkpoint at step {step}")
             val_every = cfg.train.val_every or cfg.train.ckpt_every
             if step % val_every == 0:
-                val = validate_all(state.ema_params, val_ds)
+                val = validate_all(plain_params(state.ema_params), val_ds)
                 # EMA decay .9999 needs ~20k steps to converge to the
                 # trained function; early-run EMA solves are near-init
                 # garbage. Validate the RAW weights too so fast-converging
                 # runs aren't misread as failures (same compiled program).
                 raw = {f"raw_{k}": v
-                       for k, v in validate_all(state.params, val_ds).items()}
+                       for k, v in validate_all(plain_params(state.params),
+                                                val_ds).items()}
                 logger.info(f"Validation: {val} | raw: {raw}")
                 writer.log({**val, **raw}, step)
                 # Don't bill validation time to steps/s: flush the loss
@@ -391,7 +424,7 @@ def main(argv=None) -> int:
     # delivers the signal to every host, so the collective save is safe.
     guard.__exit__()
     preempted = guard.preempted
-    ckpt.save(state,
+    ckpt.save(to_ckpt_layout(state),
               metadata={"config": cfg.to_dict(),
                         "preempted" if preempted else "final": True}
               if is_main else None, force=True)
@@ -400,7 +433,7 @@ def main(argv=None) -> int:
         logger.info(f"Preempted: checkpoint saved at step {step}")
         writer.finish(summary={"preempted_at_step": step})
         return PREEMPTED_EXIT
-    val = validate_all(state.ema_params, val_ds)
+    val = validate_all(plain_params(state.ema_params), val_ds)
     logger.info(f"Final validation: {val}")
     writer.finish(summary=val)
     ckpt.wait()

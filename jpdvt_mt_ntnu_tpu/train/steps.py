@@ -58,7 +58,8 @@ def make_train_step(model, diffusion: Diffusion, optimizer: optax.GradientTransf
                     donate: bool = True,
                     fused_adamw: dict | None = None,
                     grad_accum: int = 1,
-                    mesh=None) -> Callable:
+                    mesh=None,
+                    apply_fn: Callable | None = None) -> Callable:
     """Build ``train_step(state, images, rng) -> (state, metrics)``.
 
     images: (B, H, W, C) clean images in [-1, 1], NHWC, batch-sharded or not.
@@ -87,11 +88,18 @@ def make_train_step(model, diffusion: Diffusion, optimizer: optax.GradientTransf
     to the same batch sharding the monolithic step uses (scan dim
     replicated, sample dim over the data/fsdp axes) so DP/FSDP/TP all
     compose with accumulation.
+
+    apply_fn: optional replacement for ``model.apply`` with the same
+    ``(params, x, t, code) -> (img, code_out)`` contract — this is how the
+    pipelined forward (parallel/pipeline.make_pipeline_apply, stacked-block
+    param layout) drops into the production step; everything downstream
+    (loss, AdamW, EMA) is pytree-layout-agnostic.
     """
+    apply_fn = apply_fn or model.apply
 
     def loss_fn(params, images, t, rng):
         def model_fn(x, t_orig, code):
-            return model.apply(params, x, t_orig, code)
+            return apply_fn(params, x, t_orig, code)
 
         out = diffusion.training_losses(
             model_fn, images, t, piece_code, rng,

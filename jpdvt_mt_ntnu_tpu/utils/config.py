@@ -159,6 +159,14 @@ class MeshConfig:
     # >1 fully-shards params/EMA/optimizer state over an extra 'fsdp' mesh
     # axis (ZeRO-3); the batch shards over data x fsdp combined.
     fsdp: int = 1
+    # >1 pipelines the DiT block stack over an extra outermost 'pipe' mesh
+    # axis (GPipe schedule via shard_map + ppermute, parallel/pipeline.py);
+    # model.depth must divide by it. Checkpoints stay layout-compatible
+    # with non-pipelined runs.
+    pipe: int = 1
+    # Microbatches per pipelined step (0 = 2*pipe; more microbatches =
+    # smaller pipeline bubble). The global batch must divide by it.
+    pipe_microbatches: int = 0
     # Multi-host bring-up (the reference's unconditional
     # dist.init_process_group, train_JPDVT.py:111). "auto" initializes
     # jax.distributed when a cluster is detectable (explicit coordinator
