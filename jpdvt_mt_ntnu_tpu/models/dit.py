@@ -61,6 +61,11 @@ class DiTConfig:
     # 2x-peak serving path. Params stay fp32; quantization is in-graph
     # (checkpoints are dtype-identical to the bf16/fp32 paths).
     quant: Optional[str] = None
+    # >0 swaps every block's MLP for an expert-choice-routed MoE with this
+    # many experts (models/moe.py); 0 = dense (reference parity). The
+    # expert dim shards over the optional 'ep' mesh axis.
+    moe_experts: int = 0
+    moe_capacity: float = 2.0
 
     @property
     def out_channels(self) -> int:
@@ -236,6 +241,8 @@ class DiTBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
     attn_impl: Optional[str] = None
     quant: Optional[str] = None
+    moe_experts: int = 0
+    moe_capacity: float = 2.0
 
     @nn.compact
     def __call__(self, x, c):
@@ -250,9 +257,18 @@ class DiTBlock(nn.Module):
         attn = Attention(self.hidden_size, self.num_heads, dtype=self.dtype,
                          param_dtype=self.param_dtype, attn_impl=self.attn_impl,
                          quant=self.quant, name="attn")
-        mlp = Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size,
-                  dtype=self.dtype, param_dtype=self.param_dtype,
-                  quant=self.quant, name="mlp")
+        if self.moe_experts:
+            from .moe import ExpertChoiceMoE
+
+            mlp = ExpertChoiceMoE(
+                int(self.hidden_size * self.mlp_ratio), self.hidden_size,
+                num_experts=self.moe_experts,
+                capacity_factor=self.moe_capacity, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="mlp")
+        else:
+            mlp = Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size,
+                      dtype=self.dtype, param_dtype=self.param_dtype,
+                      quant=self.quant, name="mlp")
         x = x + gate_msa[:, None] * attn(modulate(ln("norm1")(x), shift_msa, scale_msa))
         x = x + gate_mlp[:, None] * mlp(modulate(ln("norm2")(x), shift_mlp, scale_mlp))
         return x
@@ -343,6 +359,8 @@ class DiT(nn.Module):
             x = DiTBlock(cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
                          dtype=dt, param_dtype=cfg.param_dtype,
                          attn_impl=cfg.attn_impl, quant=cfg.quant,
+                         moe_experts=cfg.moe_experts,
+                         moe_capacity=cfg.moe_capacity,
                          name=f"block_{i}")(x, c)
 
         x = FinalLayer(cfg.hidden_size, cfg.patch_dim, dtype=dt,
@@ -384,6 +402,12 @@ DIT_CONFIGS: dict[str, dict] = {
     "JPDVT": _cfg(12, 768, 16, 12),
     "JPDVT-S": _cfg(12, 768, 32, 12),
     "JPDVT-T": _cfg(12, 768, 64, 12),
+    # Sparse flagship: 8 expert-choice-routed experts per block MLP
+    # (models/moe.py) — 8x the MLP params of the dense flagship while each
+    # token is refined by ~2 experts on average (capacity 2.0: E*C = 2N
+    # expert-token slots, i.e. ~2x dense MLP FLOPs). Beyond-reference
+    # extension; the expert dim shards over the 'ep' mesh axis.
+    "JPDVT-MoE": dict(_cfg(12, 768, 16, 12), moe_experts=8),
 }
 
 

@@ -38,22 +38,29 @@ class MeshSpec:
     model: int = 1
     fsdp: int = 1    # >1 adds the 'fsdp' axis (ZeRO-sharded params/opt)
     pipe: int = 1    # >1 adds the outermost 'pipe' axis (GPipe stages)
+    ep: int = 1      # >1 adds the 'ep' axis (MoE expert parallelism)
 
     def axis_sizes(self, n_devices: int) -> dict[str, int]:
         model = max(1, self.model)
         fsdp = max(1, self.fsdp)
         pipe = max(1, self.pipe)
+        ep = max(1, self.ep)
         data = (self.data if self.data > 0
-                else n_devices // (model * fsdp * pipe))
+                else n_devices // (model * fsdp * pipe * ep))
         sizes = {"data": data, "model": model}
+        if ep > 1:
+            # Inner next to 'model': expert dispatch/combine are the
+            # heaviest collectives (all-to-all-class) — fastest rings.
+            sizes = {"data": data, "ep": ep, "model": model}
         if fsdp > 1:
-            sizes = {"data": data, "fsdp": fsdp, "model": model}
+            sizes = {"data": data, "fsdp": fsdp,
+                     **{k: v for k, v in sizes.items() if k != "data"}}
         if pipe > 1:
             # Outermost: stage handoffs are point-to-point (one ppermute
             # per tick), the lowest-bandwidth traffic in the program — they
             # can ride the slowest links (or DCN between slices).
             sizes = {"pipe": pipe, **sizes}
-        if data * fsdp * model * pipe != n_devices:
+        if data * fsdp * model * pipe * ep != n_devices:
             raise ValueError(
                 f"mesh {'x'.join(map(str, sizes.values()))} does not cover "
                 f"{n_devices} devices")

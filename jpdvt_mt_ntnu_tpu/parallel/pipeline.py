@@ -117,14 +117,16 @@ def pipeline_param_shardings(params: Any, mesh: Mesh) -> Any:
     from .sharding import _spec_for, _with_fsdp
 
     fsdp = mesh.shape["fsdp"] if "fsdp" in mesh.axis_names else 1
+    ep = "ep" in mesh.axis_names
 
     def spec(path, leaf):
         names = [str(getattr(k, "key", k)) for k in path]
         if "blocks" in names:
-            inner = _spec_for(tuple(path), leaf.ndim - 1)
+            inner = _spec_for(tuple(path), leaf.ndim - 1, ep=ep)
             inner = _with_fsdp(inner, leaf.shape[1:], fsdp)
             return P(*(("pipe",) + tuple(inner)))
-        return _with_fsdp(_spec_for(tuple(path), leaf.ndim), leaf.shape, fsdp)
+        return _with_fsdp(_spec_for(tuple(path), leaf.ndim, ep=ep),
+                          leaf.shape, fsdp)
 
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(mesh, spec(path, leaf)), params)

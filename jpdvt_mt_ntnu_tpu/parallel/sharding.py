@@ -37,9 +37,24 @@ _TP_RULES: list[tuple[tuple[str, ...], P, P]] = [
     (("mlp", "fc2"), P("model", None), P(None)),
 ]
 
+# Expert-choice MoE (models/moe.py): stacked expert params carry a leading
+# E dim that shards over 'ep'; per expert, the fc1-out / fc2-in feature
+# dims take the same Megatron 'model' split as the dense MLP.
+_EP_RULES: dict[str, P] = {
+    "wi": P("ep", None, "model"),
+    "bi": P("ep", "model"),
+    "wo": P("ep", "model", None),
+    "bo": P("ep", None),
+}
 
-def _spec_for(path: tuple[str, ...], ndim: int) -> P:
+
+def _spec_for(path: tuple[str, ...], ndim: int, ep: bool = False) -> P:
     names = tuple(str(getattr(k, "key", k)) for k in path)
+    if "mlp" in names and names[-1] in _EP_RULES:
+        spec = _EP_RULES[names[-1]]
+        if not ep:  # no 'ep' axis in the mesh: replicate the expert dim
+            spec = P(*((None,) + tuple(spec)[1:]))
+        return spec
     for keys, kspec, bspec in _TP_RULES:
         if all(any(k == n for n in names) for k in keys):
             if names[-1] == "kernel" and ndim == 2:
@@ -67,11 +82,13 @@ def _with_fsdp(spec: P, shape: tuple[int, ...], fsdp: int) -> P:
 
 def param_shardings(params: Any, mesh: Mesh) -> Any:
     """Pytree of NamedShardings for a DiT param tree (TP on 'model' axis,
-    ZeRO param sharding on the 'fsdp' axis when the mesh carries one)."""
+    expert sharding on 'ep', ZeRO param sharding on the 'fsdp' axis when
+    the mesh carries those axes)."""
     fsdp = mesh.shape["fsdp"] if "fsdp" in mesh.axis_names else 1
+    ep = "ep" in mesh.axis_names
 
     def spec(path, leaf):
-        return _with_fsdp(_spec_for(path, leaf.ndim), leaf.shape, fsdp)
+        return _with_fsdp(_spec_for(path, leaf.ndim, ep=ep), leaf.shape, fsdp)
 
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(mesh, spec(path, leaf)), params)

@@ -147,11 +147,13 @@ def main(argv=None) -> int:
     logger.info(f"Config:\n{cfg.to_json()}")
 
     mesh = make_mesh(MeshSpec(cfg.mesh.data, cfg.mesh.model,
-                              fsdp=cfg.mesh.fsdp, pipe=cfg.mesh.pipe))
+                              fsdp=cfg.mesh.fsdp, pipe=cfg.mesh.pipe,
+                              ep=cfg.mesh.ep))
     pipelined = "pipe" in mesh.axis_names
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
     attn_impl = cfg.model.attn_impl
-    if (mesh.shape["model"] > 1 or "fsdp" in mesh.axis_names or pipelined) \
+    if (mesh.shape["model"] > 1 or "fsdp" in mesh.axis_names
+            or "ep" in mesh.axis_names or pipelined) \
             and attn_impl != "xla":
         # The Pallas attention kernels are not GSPMD-partitionable over the
         # 'model' axis (and would force replication of fsdp-sharded

@@ -31,6 +31,10 @@ class ModelConfig:
     depth: int = 0
     hidden_size: int = 0
     num_heads: int = 0
+    # >0 overrides the registry's MoE expert count (models/moe.py);
+    # the registry's JPDVT-MoE carries its own default.
+    moe_experts: int = 0
+    moe_capacity: float = 0.0
 
     def overrides(self) -> dict:
         out = {}
@@ -42,6 +46,10 @@ class ModelConfig:
             out["hidden_size"] = self.hidden_size
         if self.num_heads:
             out["num_heads"] = self.num_heads
+        if self.moe_experts:
+            out["moe_experts"] = self.moe_experts
+        if self.moe_capacity:
+            out["moe_capacity"] = self.moe_capacity
         return out
 
 
@@ -167,6 +175,9 @@ class MeshConfig:
     # Microbatches per pipelined step (0 = 2*pipe; more microbatches =
     # smaller pipeline bubble). The global batch must divide by it.
     pipe_microbatches: int = 0
+    # >1 shards the MoE expert dim over an 'ep' mesh axis (models/moe.py);
+    # requires a MoE model (model.name=JPDVT-MoE or model.moe_experts>0).
+    ep: int = 1
     # Multi-host bring-up (the reference's unconditional
     # dist.init_process_group, train_JPDVT.py:111). "auto" initializes
     # jax.distributed when a cluster is detectable (explicit coordinator
