@@ -66,6 +66,12 @@ class DiTConfig:
     # expert dim shards over the optional 'ep' mesh axis.
     moe_experts: int = 0
     moe_capacity: float = 2.0
+    # Sequence/context parallelism: a jax.sharding.Mesh carrying a 'seq'
+    # axis. Set together with attn_impl="ring" to run ring attention over
+    # it (parallel/sequence.py) with activations token-sharded. None = no
+    # sequence parallelism. (Mesh is hashable, so the config stays a valid
+    # static argument.)
+    seq_mesh: Optional[Any] = None
 
     @property
     def out_channels(self) -> int:
@@ -171,6 +177,7 @@ class Attention(nn.Module):
     param_dtype: Dtype = jnp.float32
     attn_impl: Optional[str] = None
     quant: Optional[str] = None
+    seq_mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -210,7 +217,14 @@ class Attention(nn.Module):
                 x.astype(dt), wq, bq, wp, bp, self.num_heads,
                 impl == "block_interpret", None).astype(dt)
         qkv = x.astype(dt) @ qkv_k.astype(dt) + qkv_b.astype(dt)
-        if impl == "pallas":
+        if impl == "ring":
+            # Sequence-parallel ring attention over the mesh's 'seq' axis
+            # (parallel/sequence.py): tokens sharded, K/V blocks rotate by
+            # ppermute with online-softmax accumulation.
+            from ..parallel.sequence import ring_attention
+
+            o = ring_attention(qkv, self.num_heads, self.seq_mesh)
+        elif impl == "pallas":
             o = fused_qkv_attention(qkv, self.num_heads)
         elif impl == "interpret":
             o = fused_qkv_attention(qkv, self.num_heads, True)
@@ -243,6 +257,7 @@ class DiTBlock(nn.Module):
     quant: Optional[str] = None
     moe_experts: int = 0
     moe_capacity: float = 2.0
+    seq_mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, c):
@@ -256,7 +271,8 @@ class DiTBlock(nn.Module):
             dtype=self.dtype, param_dtype=self.param_dtype, name=name)
         attn = Attention(self.hidden_size, self.num_heads, dtype=self.dtype,
                          param_dtype=self.param_dtype, attn_impl=self.attn_impl,
-                         quant=self.quant, name="attn")
+                         quant=self.quant, seq_mesh=self.seq_mesh,
+                         name="attn")
         if self.moe_experts:
             from .moe import ExpertChoiceMoE
 
@@ -361,6 +377,7 @@ class DiT(nn.Module):
                          attn_impl=cfg.attn_impl, quant=cfg.quant,
                          moe_experts=cfg.moe_experts,
                          moe_capacity=cfg.moe_capacity,
+                         seq_mesh=cfg.seq_mesh,
                          name=f"block_{i}")(x, c)
 
         x = FinalLayer(cfg.hidden_size, cfg.patch_dim, dtype=dt,

@@ -15,6 +15,10 @@ from .pipeline import (  # noqa: F401
     stack_block_params,
     unstack_block_params,
 )
+from .sequence import (  # noqa: F401
+    ring_attention,
+    sequence_sharding,
+)
 from .sharding import (  # noqa: F401
     batch_sharding,
     param_shardings,

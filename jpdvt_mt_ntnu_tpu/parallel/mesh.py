@@ -39,19 +39,28 @@ class MeshSpec:
     fsdp: int = 1    # >1 adds the 'fsdp' axis (ZeRO-sharded params/opt)
     pipe: int = 1    # >1 adds the outermost 'pipe' axis (GPipe stages)
     ep: int = 1      # >1 adds the 'ep' axis (MoE expert parallelism)
+    seq: int = 1     # >1 adds the 'seq' axis (ring-attention context par.)
 
     def axis_sizes(self, n_devices: int) -> dict[str, int]:
         model = max(1, self.model)
         fsdp = max(1, self.fsdp)
         pipe = max(1, self.pipe)
         ep = max(1, self.ep)
+        seq = max(1, self.seq)
         data = (self.data if self.data > 0
-                else n_devices // (model * fsdp * pipe * ep))
+                else n_devices // (model * fsdp * pipe * ep * seq))
         sizes = {"data": data, "model": model}
+        if seq > 1:
+            # Next to 'model' (innermost rings): the ring's ppermutes are
+            # neighbor-only, but the per-sublayer activation halo and the
+            # gradient psum over 'seq' are latency-sensitive.
+            sizes = {"data": data, "seq": seq, "model": model}
         if ep > 1:
             # Inner next to 'model': expert dispatch/combine are the
             # heaviest collectives (all-to-all-class) — fastest rings.
-            sizes = {"data": data, "ep": ep, "model": model}
+            sizes = {"data": data, "ep": ep,
+                     **{k: v for k, v in sizes.items()
+                        if k not in ("data", "ep")}}
         if fsdp > 1:
             sizes = {"data": data, "fsdp": fsdp,
                      **{k: v for k, v in sizes.items() if k != "data"}}
@@ -60,7 +69,7 @@ class MeshSpec:
             # per tick), the lowest-bandwidth traffic in the program — they
             # can ride the slowest links (or DCN between slices).
             sizes = {"pipe": pipe, **sizes}
-        if data * fsdp * model * pipe * ep != n_devices:
+        if data * fsdp * model * pipe * ep * seq != n_devices:
             raise ValueError(
                 f"mesh {'x'.join(map(str, sizes.values()))} does not cover "
                 f"{n_devices} devices")

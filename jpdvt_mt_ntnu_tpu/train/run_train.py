@@ -148,11 +148,18 @@ def main(argv=None) -> int:
 
     mesh = make_mesh(MeshSpec(cfg.mesh.data, cfg.mesh.model,
                               fsdp=cfg.mesh.fsdp, pipe=cfg.mesh.pipe,
-                              ep=cfg.mesh.ep))
+                              ep=cfg.mesh.ep, seq=cfg.mesh.seq))
     pipelined = "pipe" in mesh.axis_names
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
     attn_impl = cfg.model.attn_impl
-    if (mesh.shape["model"] > 1 or "fsdp" in mesh.axis_names
+    seq_mesh = None
+    if "seq" in mesh.axis_names:
+        # Context parallelism: tokens shard over 'seq', attention runs as
+        # a shard_map ring (parallel/sequence.py) — the one impl that can
+        # compute attention without gathering the full sequence.
+        logger.info("mesh.seq>1: attention = ring (sequence parallel)")
+        attn_impl, seq_mesh = "ring", mesh
+    elif (mesh.shape["model"] > 1 or "fsdp" in mesh.axis_names
             or "ep" in mesh.axis_names or pipelined) \
             and attn_impl != "xla":
         # The Pallas attention kernels are not GSPMD-partitionable over the
@@ -163,6 +170,7 @@ def main(argv=None) -> int:
         attn_impl = "xla"
     model, model_cfg = create_model(cfg.model.name, cfg.model.image_size,
                                     dtype=dtype, attn_impl=attn_impl,
+                                    seq_mesh=seq_mesh,
                                     **cfg.model.overrides())
     diffusion = create_diffusion(cfg.diffusion.timestep_respacing,
                                  cfg.diffusion.noise_schedule,

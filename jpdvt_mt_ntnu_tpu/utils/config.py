@@ -178,6 +178,11 @@ class MeshConfig:
     # >1 shards the MoE expert dim over an 'ep' mesh axis (models/moe.py);
     # requires a MoE model (model.name=JPDVT-MoE or model.moe_experts>0).
     ep: int = 1
+    # >1 shards activations over tokens on a 'seq' mesh axis and runs
+    # attention as a ring (parallel/sequence.py, ppermute + online
+    # softmax); num_tokens must divide by it. Context parallelism for
+    # long-sequence geometries (576+ tokens at grid 24@384 and beyond).
+    seq: int = 1
     # Multi-host bring-up (the reference's unconditional
     # dist.init_process_group, train_JPDVT.py:111). "auto" initializes
     # jax.distributed when a cluster is detectable (explicit coordinator

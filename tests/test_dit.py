@@ -69,7 +69,7 @@ def test_registry_complete():
     expected = {
         "DiT-XL/2", "DiT-XL/4", "DiT-XL/8", "DiT-L/2", "DiT-L/4", "DiT-L/8",
         "DiT-B/2", "DiT-B/4", "DiT-B/8", "DiT-S/2", "DiT-S/4", "DiT-S/8",
-        "JPDVT", "JPDVT-S", "JPDVT-T",
+        "JPDVT", "JPDVT-S", "JPDVT-T", "JPDVT-MoE",
     }
     assert set(DIT_CONFIGS) == expected
     assert DIT_CONFIGS["JPDVT"] == dict(depth=12, hidden_size=768,
