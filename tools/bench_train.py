@@ -40,7 +40,8 @@ def bench(fused: bool, args) -> dict:
     from jpdvt_mt_ntnu_tpu.train.steps import TrainTask, make_train_step
     from jpdvt_mt_ntnu_tpu.utils.pos_embed import grid_code
 
-    model, cfg = create_model(args.model, args.image_size, dtype=jnp.bfloat16)
+    model, cfg = create_model(args.model, args.image_size, dtype=jnp.bfloat16,
+                              attn_impl=args.attn)
     diffusion = create_diffusion()
     optimizer = make_optimizer(lr=1e-4, weight_decay=0.0)
     task = TrainTask(grid_size=args.grid,
@@ -87,6 +88,10 @@ def main() -> None:
     p.add_argument("--image-size", type=int, default=192)
     p.add_argument("--grid", type=int, default=3)
     p.add_argument("--only", choices=["fused", "optax"], default=None)
+    # None = the production auto-route (ops/attention.default_impl);
+    # explicit values pin an impl for shootouts at new geometries.
+    p.add_argument("--attn", default=None,
+                   choices=[None, "xla", "pallas", "flash", "block"])
     args = p.parse_args()
     for fused in ((args.only == "fused",) if args.only
                   else (False, True)):
