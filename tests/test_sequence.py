@@ -116,6 +116,36 @@ def test_model_forward_parity_ring_vs_xla():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_train_step_sp_composes_with_fsdp():
+    """(data=2, fsdp=2, seq=2): ring attention inside a ZeRO-sharded step —
+    GSPMD all-gathers the fsdp-sharded weights around the manual 'seq'
+    region. Runs one step; loss finite and params stay fsdp-sharded."""
+    from jpdvt_mt_ntnu_tpu.core.diffusion import create_diffusion
+    from jpdvt_mt_ntnu_tpu.train import create_train_state, make_train_step
+    from jpdvt_mt_ntnu_tpu.train.state import make_optimizer
+    from jpdvt_mt_ntnu_tpu.train.steps import TrainTask
+    from jpdvt_mt_ntnu_tpu.utils.pos_embed import grid_code
+
+    mesh = make_mesh(MeshSpec(data=2, fsdp=2, seq=2),
+                     devices=jax.devices()[:8])
+    model, cfg = _tiny_model(seq_mesh=mesh, attn_impl="ring")
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(model, cfg, jax.random.key(0), opt)
+    state = jax.device_put(state, state_shardings(state, mesh))
+    qkv = state.params["params"]["block_0"]["attn"]["qkv"]["kernel"]
+    assert "fsdp" in str(qkv.sharding.spec)
+    task = TrainTask(grid_size=3, block_size=16, patch_size=8,
+                     shared_perm=False)
+    step = make_train_step(model, create_diffusion(""), opt, task,
+                           jnp.asarray(grid_code(8, 3)), donate=False)
+    b = jax.device_put(jax.random.normal(jax.random.key(1), (8, 48, 48, 3)),
+                       batch_sharding(mesh, 4))
+    state2, m = step(state, b, jax.random.key(2))
+    assert jnp.isfinite(m["loss"])
+    qkv2 = state2.params["params"]["block_0"]["attn"]["qkv"]["kernel"]
+    assert "fsdp" in str(qkv2.sharding.spec)
+
+
 def test_train_step_loss_parity_dp_vs_dpxsp():
     """One train step on (data=8) vs (data=4, seq=2): same loss, same
     post-step param sample — context parallelism must not change the
