@@ -133,8 +133,18 @@ def main(argv=None) -> int:
     maybe_initialize_distributed(cfg.mesh)
 
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    attn_impl, seq_mesh = cfg.model.attn_impl, None
+    if cfg.mesh.seq > 1:
+        # Context-parallel eval: ring attention over a (data, seq) mesh —
+        # the axis that engages multiple chips on ONE huge puzzle (batch
+        # sharding covers everything else). parallel/sequence.py.
+        from ..parallel import MeshSpec, make_mesh
+
+        seq_mesh = make_mesh(MeshSpec(data=cfg.mesh.data, seq=cfg.mesh.seq))
+        attn_impl = "ring"
     model, model_cfg = create_model(cfg.model.name, cfg.model.image_size,
-                                    dtype=dtype, attn_impl=cfg.model.attn_impl,
+                                    dtype=dtype, attn_impl=attn_impl,
+                                    seq_mesh=seq_mesh,
                                     **cfg.model.overrides())
     params = load_params(cfg, model, model_cfg)
     diffusion = create_diffusion(str(cfg.diffusion.sampling_steps),

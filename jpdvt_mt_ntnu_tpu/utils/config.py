@@ -31,6 +31,7 @@ class ModelConfig:
     depth: int = 0
     hidden_size: int = 0
     num_heads: int = 0
+    patch_size: int = 0
     # >0 overrides the registry's MoE expert count (models/moe.py);
     # the registry's JPDVT-MoE carries its own default.
     moe_experts: int = 0
@@ -46,6 +47,8 @@ class ModelConfig:
             out["hidden_size"] = self.hidden_size
         if self.num_heads:
             out["num_heads"] = self.num_heads
+        if self.patch_size:
+            out["patch_size"] = self.patch_size
         if self.moe_experts:
             out["moe_experts"] = self.moe_experts
         if self.moe_capacity:

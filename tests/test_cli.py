@@ -116,6 +116,28 @@ def test_run_eval_synthetic(tmp_path, monkeypatch, capsys):
     assert os.path.exists(tmp_path / "logs" / "inference_progress.csv")
 
 
+def test_run_eval_sequence_parallel(tmp_path, monkeypatch, capsys):
+    # mesh.seq=2 on the virtual 8-device mesh: context-parallel eval via
+    # ring attention (the model is built with attn_impl=ring + a
+    # (data, seq) mesh; 48px/patch-16 -> 9 tokens is indivisible, so use
+    # patch 8 -> 36 tokens -> 18 per shard).
+    monkeypatch.chdir(tmp_path)
+    from jpdvt_mt_ntnu_tpu.eval.run_eval import main
+
+    rc = main([
+        "data.dataset=synthetic",
+        "model.image_size=48", "model.depth=1", "model.hidden_size=32",
+        "model.num_heads=2", "model.patch_size=8",
+        "model.compute_dtype=float32",
+        "mesh.seq=2",
+        "diffusion.sampling_steps=3", "diffusion.sampler_mode=fast",
+        "eval.batch_size=8", "eval.limit=16",
+        f"eval.logs_dir={tmp_path}/logs",
+    ])
+    assert rc == 0
+    assert "puzzle_accuracy=" in capsys.readouterr().out
+
+
 def test_run_train_resume(tmp_path, monkeypatch):
     """Full-state CLI resume (reference train_JPDVT.py:239-274)."""
     monkeypatch.chdir(tmp_path)
