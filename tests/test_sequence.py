@@ -78,6 +78,19 @@ def test_ring_with_sharded_inputs():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("seq,n,h,d", [(2, 16, 2, 4), (4, 16, 1, 8),
+                                       (8, 24, 2, 4), (2, 18, 3, 8)])
+def test_ring_matches_xla_across_shard_counts(seq, n, h, d):
+    mesh = make_mesh(MeshSpec(data=8 // seq, seq=seq),
+                     devices=jax.devices()[:8])
+    qkv = jax.random.normal(jax.random.key(seq * 31 + n),
+                            (2, n, 3 * h * d))
+    ref = fused_qkv_attention_xla(qkv, h)
+    out = jax.jit(lambda q: ring_attention(q, h, mesh))(qkv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_ring_rejects_indivisible_tokens():
     mesh = _mesh()
     with pytest.raises(ValueError, match="not divisible"):
