@@ -84,7 +84,12 @@ def test_param_tree_is_geometry_independent():
 
 def test_mismatched_patch_size_fails_loudly(tmp_path):
     """A checkpoint whose patch-embed width differs (different piece size)
-    must fail on restore, not silently produce garbage."""
+    must fail on restore, not silently produce garbage.
+
+    The mismatched model keeps hidden_size=64 and every other hyperparam
+    identical to ``_build``'s and changes ONLY patch_size (16 -> 12), so
+    the patch-embed Dense (patch_dim x hidden) is the sole differing
+    shape — the restore failure can come from nothing else."""
     import pytest
 
     state3, step3 = _build(48, 3)
@@ -92,12 +97,15 @@ def test_mismatched_patch_size_fails_loudly(tmp_path):
     mgr.save(state3)
     mgr.wait()
 
-    # 48px at grid 4 -> 12px pieces -> different patch_dim Dense shape.
+    # 12px patches -> patch_dim 12*12*3=432 vs 16*16*3=768: only the
+    # patch-embed Dense kernel shape differs from the checkpoint's tree.
     model, cfg = create_model("JPDVT", input_size=48, depth=2,
-                              hidden_size=96, num_heads=4, attn_impl="xla")
+                              hidden_size=64, num_heads=4, patch_size=12,
+                              attn_impl="xla")
+    assert cfg.patch_size == 12
     opt = make_optimizer(lr=2e-3)
     other = create_train_state(model, cfg, jax.random.key(1), opt)
-    with pytest.raises(Exception):
+    with pytest.raises((ValueError, AssertionError, TypeError)):
         restored = mgr.restore(other)
         # Orbax may restore leniently; a shape check must still trip.
         jax.block_until_ready(
