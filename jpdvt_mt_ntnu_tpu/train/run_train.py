@@ -31,7 +31,7 @@ from ..utils.config import Config, apply_overrides
 from ..utils.logging import MetricWriter, auto_experiment_dir, rank0_logger
 from ..utils.pos_embed import grid_code
 from .checkpoint import CheckpointManager
-from .state import create_train_state, make_optimizer
+from .state import TrainState, create_train_state, make_optimizer
 from .steps import TrainTask, make_train_step
 from .validate import Validator
 
@@ -192,7 +192,7 @@ def main(argv=None) -> int:
                 f"task grid {g} must divide image_size "
                 f"({cfg.model.image_size}) and tokens/side ({toks})")
 
-    def make_task(g: int) -> TrainTask:
+    def make_task(g: int, ema_anchor: int = 0) -> TrainTask:
         return TrainTask(
             grid_size=g,
             block_size=cfg.model.image_size // g,
@@ -201,6 +201,7 @@ def main(argv=None) -> int:
             shared_perm=cfg.task.shared_perm,
             ema_decay=cfg.train.ema_decay,
             ema_warmup=cfg.train.ema_warmup,
+            ema_anchor=ema_anchor,
             crop_pieces=cfg.model.image_size // g if cfg.task.crop else None,
             t_bias=cfg.train.t_bias,
         )
@@ -228,14 +229,6 @@ def main(argv=None) -> int:
     # (state.fused_adamw_ema); clipped runs keep the general optax chain.
     fused = (dict(lr=cfg.train.lr, weight_decay=cfg.train.weight_decay)
              if cfg.train.grad_clip is None else None)
-    grid_steps = [
-        make_train_step(model, diffusion, optimizer, make_task(g),
-                        jnp.asarray(grid_code(model_cfg.code_dim, g)),
-                        fused_adamw=fused,
-                        grad_accum=cfg.train.grad_accum, mesh=mesh,
-                        apply_fn=apply_fn)
-        for g in grids
-    ]
 
     state = create_train_state(model, model_cfg, jax.random.key(cfg.train.global_seed),
                                optimizer)
@@ -258,9 +251,15 @@ def main(argv=None) -> int:
     logger.info(f"{cfg.model.name}: {n_params / 1e6:.1f}M params, "
                 f"mesh={dict(mesh.shape)}")
 
+    if cfg.train.resume and cfg.train.warm_start:
+        raise SystemExit(
+            "train.resume and train.warm_start are mutually exclusive: "
+            "resume continues a run in place; warm_start seeds a NEW run "
+            "(fresh exp_dir checkpoints, EMA reset, warmup re-armed)")
     ckpt = CheckpointManager(
         cfg.train.resume
         or (f"{exp_dir_shared}/checkpoints" if exp_dir_shared else "checkpoints"))
+    ema_anchor = 0
     if cfg.train.resume:
         if ckpt.latest_step() is None:
             raise FileNotFoundError(
@@ -277,6 +276,43 @@ def main(argv=None) -> int:
         else:
             state = jax.device_put(ckpt.restore(state), state_sharding)
         logger.info(f"Resumed from step {int(state.step)}")
+    elif cfg.train.warm_start:
+        # Cross-geometry warm start (the grid-ladder curriculum, PERF.md
+        # "24x24"): the DiT's param tree is geometry-independent (patch
+        # embed is a Dense over patch_dim; pos tables are computed), so a
+        # checkpoint from a previous rung restores verbatim. Params, opt
+        # moments and the step counter carry over (the waves stream cursor
+        # continues, never repeating data), but the EMA belongs to the OLD
+        # task — reset it to the restored params and re-arm the warmup ramp
+        # at the restore step, else EMA validation/eval lags raw by 10-20k
+        # steps at decay .9999 (the round-3 24x24 cost).
+        warm = CheckpointManager(cfg.train.warm_start)
+        if warm.latest_step() is None:
+            raise FileNotFoundError(
+                f"train.warm_start={cfg.train.warm_start!r} contains no "
+                "checkpoints")
+        restored = warm.restore(to_ckpt_layout(state))
+        warm.close()
+        restored = TrainState(
+            step=restored.step, params=restored.params,
+            ema_params=jax.tree.map(jnp.copy, restored.params),
+            opt_state=restored.opt_state)
+        if pipelined:
+            restored = convert_state(restored, stack_block_params)
+        state = jax.device_put(restored, state_sharding)
+        ema_anchor = int(state.step)
+        logger.info(f"Warm-started from {cfg.train.warm_start} at step "
+                    f"{ema_anchor} (EMA reset to params, warmup re-armed)")
+
+    grid_steps = [
+        make_train_step(model, diffusion, optimizer,
+                        make_task(g, ema_anchor=ema_anchor),
+                        jnp.asarray(grid_code(model_cfg.code_dim, g)),
+                        fused_adamw=fused,
+                        grad_accum=cfg.train.grad_accum, mesh=mesh,
+                        apply_fn=apply_fn)
+        for g in grids
+    ]
 
     loader, val_ds = build_datasets(cfg)
     validators = {

@@ -44,6 +44,11 @@ class TrainTask:
     # read chance for ~20k steps on fast-converging runs (PERF.md, waves);
     # default off for parity.
     ema_warmup: bool = False
+    # Warmup ramp origin: steps BEFORE this count as "not trained" for the
+    # ramp, so a warm-started run (train.warm_start, step counter carried
+    # over from the seed checkpoint) re-arms the fast early decay instead
+    # of jumping straight to ema_decay. 0 = ramp from step 0 (cold start).
+    ema_anchor: int = 0
     crop_pieces: int | None = None  # ImageNet --crop: inner piece crop px
     # Timestep sampling bias: 0 = uniform (reference parity,
     # train_JPDVT.py:354). >0 skews draws toward HIGH t via
@@ -182,7 +187,7 @@ def make_train_step(model, diffusion: Diffusion, optimizer: optax.GradientTransf
             aux_means = {"code_mse": aux["code_mse"].mean(),
                          "img_mse": aux["img_mse"].mean()}
         if task.ema_warmup:
-            s = (state.step + 1).astype(jnp.float32)
+            s = (state.step + 1 - task.ema_anchor).astype(jnp.float32)
             ema_decay = jnp.minimum(task.ema_decay, (1.0 + s) / (10.0 + s))
         else:
             ema_decay = task.ema_decay

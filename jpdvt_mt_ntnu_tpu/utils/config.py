@@ -143,6 +143,13 @@ class TrainConfig:
     # auto-resume wrappers address the checkpoint dir deterministically.
     exp_dir: str = ""
     resume: str = ""                  # ckpt dir to resume from
+    # Cross-geometry warm start (the grid-ladder mechanism, PERF.md
+    # "24x24"): restore params/opt/step from this checkpoint dir, but
+    # RESET the EMA to the restored params and re-arm the ema_warmup ramp
+    # at the restore step — a fixed .9999 EMA lags a freshly warm-started
+    # task by 10-20k steps, which round 3 paid on the 24x24 rung. Unlike
+    # ``resume``, checkpoints keep saving into THIS run's exp_dir.
+    warm_start: str = ""
     wandb: bool = False
 
 

@@ -173,6 +173,60 @@ def test_run_train_resume(tmp_path, monkeypatch):
                        f"train.resume={tmp_path}/nonexistent"])
 
 
+def test_run_train_warm_start(tmp_path, monkeypatch):
+    """train.warm_start: a grid-3@48 checkpoint seeds a grid-6@96 run
+    (the ladder mechanism). Unlike resume, new checkpoints land in the NEW
+    run's exp_dir; the step counter carries over; EMA is reset to params
+    with the warmup ramp re-armed (asserted at the unit level in
+    tests/test_warm_start.py)."""
+    monkeypatch.chdir(tmp_path)
+    from jpdvt_mt_ntnu_tpu.train.run_train import main
+
+    common = [
+        "data.dataset=synthetic", "data.global_batch_size=8",
+        "data.num_workers=2", "data.synthetic_n=32",
+        "model.depth=1", "model.hidden_size=32",
+        "model.num_heads=2", "model.attn_impl=xla",
+        "model.compute_dtype=float32",
+        "train.log_every=4", "train.ckpt_every=4", "train.ema_warmup=true",
+        "diffusion.sampling_steps=2", "diffusion.sampler_mode=fast",
+    ]
+    assert main(common + ["model.image_size=48", "task.grid_size=3",
+                          "train.epochs=1",
+                          f"train.exp_dir={tmp_path}/rung3"]) == 0
+    seed_dir = str(tmp_path / "rung3" / "checkpoints")
+    seed_steps = [int(s) for s in os.listdir(seed_dir) if s.isdigit()]
+    assert seed_steps
+
+    assert main(common + ["model.image_size=96", "task.grid_size=6",
+                          "train.epochs=1",
+                          f"train.exp_dir={tmp_path}/rung6",
+                          f"train.warm_start={seed_dir}"]) == 0
+    # Saves go to the new rung's dir, continuing the step counter; the
+    # seed rung's checkpoints are untouched.
+    new_steps = [int(s) for s in os.listdir(tmp_path / "rung6" / "checkpoints")
+                 if s.isdigit()]
+    assert new_steps and min(new_steps) > max(seed_steps)
+    assert [int(s) for s in os.listdir(seed_dir)
+            if s.isdigit()] == seed_steps
+
+    import pytest
+
+    # warm_start and resume are mutually exclusive
+    with pytest.raises(SystemExit):
+        main(common + ["model.image_size=96", "task.grid_size=6",
+                       "train.epochs=1",
+                       f"train.exp_dir={tmp_path}/rung6b",
+                       f"train.warm_start={seed_dir}",
+                       f"train.resume={seed_dir}"])
+    # empty warm-start dir fails loudly
+    with pytest.raises(FileNotFoundError):
+        main(common + ["model.image_size=96", "task.grid_size=6",
+                       "train.epochs=1",
+                       f"train.exp_dir={tmp_path}/rung6c",
+                       f"train.warm_start={tmp_path}/nonexistent"])
+
+
 def test_run_eval_texrec_dirs(tmp_path, monkeypatch, capsys):
     """Directory-loop texrec mode: per-dir CSVs, mask exclusion, summary."""
     import numpy as np

@@ -82,6 +82,52 @@ def test_param_tree_is_geometry_independent():
     assert shapes3 == shapes6
 
 
+def test_ema_anchor_rearms_warmup():
+    """TrainTask.ema_anchor shifts the warmup ramp's origin: a warm-started
+    step (state.step = anchor) must use the FAST early decay, not the
+    converged ema_decay — the round-3 24x24 rung paid 10-20k steps of EMA
+    lag for the lack of this (PERF.md)."""
+    model, cfg = create_model("JPDVT", input_size=48, depth=1,
+                              hidden_size=32, num_heads=2, attn_impl="xla")
+    diff = create_diffusion("")
+    opt = make_optimizer(lr=2e-3)
+    code = jnp.asarray(grid_code(8, 3))
+    x = jax.random.normal(jax.random.key(2), (4, 48, 48, 3))
+
+    task_anchored = TrainTask(grid_size=3, block_size=16,
+                              patch_size=cfg.patch_size,
+                              ema_warmup=True, ema_anchor=5000)
+    task_cold = TrainTask(grid_size=3, block_size=16,
+                          patch_size=cfg.patch_size,
+                          ema_warmup=True, ema_anchor=0)
+    from jpdvt_mt_ntnu_tpu.train.state import TrainState
+
+    base = create_train_state(model, cfg, jax.random.key(0), opt)
+    stale = TrainState(step=jnp.asarray(5000, jnp.int32), params=base.params,
+                       ema_params=jax.tree.map(jnp.zeros_like, base.params),
+                       opt_state=base.opt_state)
+
+    step_a = make_train_step(model, diff, opt, task_anchored, code,
+                             donate=False)
+    step_c = make_train_step(model, diff, opt, task_cold, code, donate=False)
+    out_a, _ = step_a(stale, x, jax.random.key(1))
+    out_c, _ = step_c(stale, x, jax.random.key(1))
+
+    # anchored: s=1 -> decay = 2/11, EMA jumps ~82% of the way to params;
+    # cold at step 5000: decay = min(.9999, 5002/5011) ~ .9982, EMA barely
+    # moves off the stale zeros. Compare global tree norms (individual
+    # leaves may be zero-init adaLN params).
+    import optax
+
+    def gap(state):
+        return float(optax.global_norm(jax.tree.map(
+            lambda a, b: a - b, state.ema_params, state.params)))
+
+    scale = float(optax.global_norm(out_a.params))
+    assert gap(out_a) < 0.25 * scale, "anchored EMA should track params"
+    assert gap(out_c) > 0.9 * scale, "cold-formula EMA should stay stale"
+
+
 def test_mismatched_patch_size_fails_loudly(tmp_path):
     """A checkpoint whose patch-embed width differs (different piece size)
     must fail on restore, not silently produce garbage.
