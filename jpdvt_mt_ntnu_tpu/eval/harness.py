@@ -17,7 +17,12 @@ the reference are all upgrades:
   prefetch thread while the device solves batch N (the C++ decoder
   releases the GIL for exactly this), and journaling/PNG-writing happens
   on an ordered writer thread — the eval loop is device-bound instead of
-  host-bound (was 13x slower than the solve it wrapped).
+  host-bound (was 13x slower than the solve it wrapped);
+- the solve itself is software-pipelined (round 4): batch N+1 is
+  DISPATCHED before batch N's results are materialized (JAX async
+  dispatch; solver.evaluate_async), so the device queue never drains on
+  D2H/journaling, and the hungarian path pulls its distance tensor in the
+  same single bundled transfer.
 """
 
 from __future__ import annotations
@@ -150,7 +155,8 @@ class EvalHarness:
                 except Exception as e:  # decode failure: skip + log
                     self.err_logger.error(f"Failed on image {key_of(q)}: {e}")
                     self.logger.error(f"Skipping {key_of(q)} due to error.")
-            return images, names
+            # Stack on the prefetch thread too — keeps the dispatch loop free.
+            return (np.stack(images) if images else None), names
 
         def write_results(names, batch, res, per_item):
             # Runs on the single writer thread: journal appends stay in
@@ -172,40 +178,61 @@ class EvalHarness:
 
         chunks = [todo[i:i + self.batch_size]
                   for i in range(0, len(todo), self.batch_size)]
+
+        def finalize(names, batch, thunk, t0):
+            # Blocks on batch N's D2H while the device runs batch N+1
+            # (already dispatched) — the solve queue never drains.
+            nonlocal done_this_run
+            try:
+                res = thunk()
+            except Exception as e:
+                self.err_logger.error(
+                    f"Batch solve failed ({names[0]}...): {e}")
+                return
+            elapsed = time.time() - t0
+            per_item = elapsed / len(names)
+            writes.append(writer.submit(write_results, names, batch, res,
+                                        per_item))
+            for i, n in enumerate(names):
+                state.processed.add(n)
+                state.puzzle_correct += int(res.puzzle_correct[i])
+                state.patch_matches += int(res.patch_matches[i])
+                state.count += 1
+                done_this_run += 1
+            pa, ta = state.accuracy(p)
+            self.logger.info(
+                f"{state.count} done | batch {len(names)} in {elapsed:.2f}s "
+                f"({len(names) / elapsed:.2f} puzzles/s) | running "
+                f"puzzleAcc={pa:.4f} patchAcc={ta:.4f}")
+
         with ThreadPoolExecutor(1, "eval-prefetch") as prefetch, \
                 ThreadPoolExecutor(1, "eval-writer") as writer:
             pending = prefetch.submit(load_chunk, chunks[0]) if chunks else None
             writes: list = []
+            in_flight = None  # (names, batch, result_thunk, t0)
             for ci in range(len(chunks)):
-                images, names = pending.result()
+                batch, names = pending.result()
                 pending = (prefetch.submit(load_chunk, chunks[ci + 1])
                            if ci + 1 < len(chunks) else None)
-                if not images:
+                if batch is None:
                     continue
                 t0 = time.time()
-                batch = np.stack(images)
                 key = jax.random.key(int(rng.integers(0, 2**31)))
                 try:
-                    res = self.solver.evaluate(self.params, batch, key)
+                    # Async dispatch: returns as soon as the program is
+                    # queued; materialization happens in finalize AFTER the
+                    # next batch is dispatched (software pipelining).
+                    thunk = self.solver.evaluate_async(self.params, batch,
+                                                       key)
                 except Exception as e:
                     self.err_logger.error(
-                        f"Batch solve failed ({names[0]}...): {e}")
+                        f"Batch dispatch failed ({names[0]}...): {e}")
                     continue
-                elapsed = time.time() - t0
-                per_item = elapsed / len(names)
-                writes.append(writer.submit(write_results, names, batch, res,
-                                            per_item))
-                for i, n in enumerate(names):
-                    state.processed.add(n)
-                    state.puzzle_correct += int(res.puzzle_correct[i])
-                    state.patch_matches += int(res.patch_matches[i])
-                    state.count += 1
-                    done_this_run += 1
-                pa, ta = state.accuracy(p)
-                self.logger.info(
-                    f"{state.count} done | batch {len(names)} in {elapsed:.2f}s "
-                    f"({len(names) / elapsed:.2f} puzzles/s) | running "
-                    f"puzzleAcc={pa:.4f} patchAcc={ta:.4f}")
+                if in_flight is not None:
+                    finalize(*in_flight)
+                in_flight = (names, batch, thunk, t0)
+            if in_flight is not None:
+                finalize(*in_flight)
             for w in writes:
                 w.result()  # surface writer exceptions; all rows persisted
 

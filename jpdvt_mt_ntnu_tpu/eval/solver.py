@@ -217,29 +217,47 @@ class PuzzleSolver:
                               dtype=np.int64)
         return np.asarray(pred)
 
-    def evaluate(self, params, x: jnp.ndarray, rng: jax.Array) -> SolveResult:
-        """Scramble clean images, solve, score (the inference.py main loop)."""
+    def evaluate_async(self, params, x: jnp.ndarray, rng: jax.Array):
+        """Dispatch one scramble+solve+score program and return a thunk.
+
+        The jit call returns unmaterialized device arrays immediately (JAX
+        async dispatch); calling the thunk blocks on the D2H transfer and
+        builds the SolveResult. This lets a caller keep the device queue
+        full — dispatch batch N+1 before materializing batch N (the eval
+        harness does exactly that; PERF.md round-4 "eval harness").
+
+        Both assignment methods run the SAME device program; hungarian
+        additionally pulls the distance tensor in the one bundled
+        device_get (a single transfer — previously a separate scramble
+        program plus its own D2H) and runs the batched C++ solver on host
+        (reference inference.py:304 runs sklearn per image instead).
+        """
         p = self.grid * self.grid
         indices = jigsaw.random_permutations(rng, x.shape[0], p)
+        x, indices = self._place(x, indices)
+        pred, puzzle, patch, dist = self._solve_and_score(params, x, indices)
         if self.assignment_method == "hungarian":
             from ..ops import native
 
-            # Same mesh-sharded device path as greedy (scramble + solve are
-            # one sharded program each); only the assignment itself runs on
-            # host, batched through the C++ solver in ONE call.
-            x, indices = self._place(x, indices)
-            x_scr = self._scramble(x, indices)
-            _, dist = self._solve_codes(params, x_scr)
-            pred = np.asarray(native.hungarian_permutation(np.asarray(dist)),
-                              dtype=np.int64)
-            eq = pred == np.asarray(indices)
-            return SolveResult(pred, np.asarray(indices),
-                               eq.all(-1).astype(np.int32),
-                               eq.sum(-1).astype(np.int32))
-        x, indices = self._place(x, indices)
-        pred, puzzle, patch, _ = self._solve_and_score(params, x, indices)
-        return SolveResult(np.asarray(pred), np.asarray(indices),
-                           np.asarray(puzzle), np.asarray(patch))
+            def result() -> SolveResult:
+                d, idx = jax.device_get((dist, indices))
+                pr = np.asarray(native.hungarian_permutation(d),
+                                dtype=np.int64)
+                eq = pr == idx
+                return SolveResult(pr, np.asarray(idx),
+                                   eq.all(-1).astype(np.int32),
+                                   eq.sum(-1).astype(np.int32))
+        else:
+            def result() -> SolveResult:
+                pr, idx, pz, pt = jax.device_get((pred, indices, puzzle,
+                                                  patch))
+                return SolveResult(np.asarray(pr), np.asarray(idx),
+                                   np.asarray(pz), np.asarray(pt))
+        return result
+
+    def evaluate(self, params, x: jnp.ndarray, rng: jax.Array) -> SolveResult:
+        """Scramble clean images, solve, score (the inference.py main loop)."""
+        return self.evaluate_async(params, x, rng)()
 
     def evaluate_masked(self, params, x: jnp.ndarray, rng: jax.Array,
                         num_masked: int, mask_fill: str = "noise") -> SolveResult:
