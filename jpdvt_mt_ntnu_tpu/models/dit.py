@@ -371,10 +371,18 @@ class DiT(nn.Module):
         c = TimestepEmbedder(cfg.hidden_size, dtype=dt,
                              param_dtype=cfg.param_dtype, name="t_embedder")(t)
 
+        from ..ops.quant import parse_quant_spec
+
+        # "int8" quantizes every block; "int8:K" only the first K — the
+        # late blocks feed the 8-dim code regression, where int8 noise is
+        # what costs large-grid puzzle accuracy (ops/quant.py docstring).
+        qmode, qlimit = parse_quant_spec(cfg.quant)
         for i in range(cfg.depth):
             x = DiTBlock(cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
                          dtype=dt, param_dtype=cfg.param_dtype,
-                         attn_impl=cfg.attn_impl, quant=cfg.quant,
+                         attn_impl=cfg.attn_impl,
+                         quant=qmode if (qlimit is None or i < qlimit)
+                         else None,
                          moe_experts=cfg.moe_experts,
                          moe_capacity=cfg.moe_capacity,
                          seq_mesh=cfg.seq_mesh,

@@ -44,6 +44,38 @@ import jax.numpy as jnp
 _QMAX = 127.0
 
 
+def parse_quant_spec(spec) -> tuple:
+    """Parse a quantization spec string -> (mode, depth_limit).
+
+    - ""/None      -> (None, None)          no quantization
+    - "int8"       -> ("int8", None)        every block quantized
+    - "int8:K"     -> ("int8", K)           only the FIRST K blocks
+                                            quantized; the last depth-K
+                                            blocks (plus, as always, the
+                                            final layer and code head) stay
+                                            in the compute dtype.
+
+    Selective depth is the large-grid accuracy rescue (PERF.md round-3
+    int8: full int8 reads 0.8906 vs 0.9873 bf16 puzzle acc at 16x16 —
+    the 8-dim code regression at the top of the stack is where int8
+    noise hurts; the early feature-extraction blocks tolerate it).
+    """
+    if not spec:
+        return None, None
+    spec = str(spec)
+    if ":" in spec:
+        mode, _, k = spec.partition(":")
+        try:
+            limit = int(k)
+        except ValueError:
+            raise ValueError(f"bad quant spec {spec!r} (want e.g. 'int8:8')")
+    else:
+        mode, limit = spec, None
+    if mode != "int8":
+        raise ValueError(f"unknown quant mode {mode!r} (supported: int8)")
+    return mode, limit
+
+
 def quantize_channelwise(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric int8 per-output-channel weight quantization.
 

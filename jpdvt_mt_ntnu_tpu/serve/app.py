@@ -240,8 +240,10 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--mode", default="faithful")
     ap.add_argument("--steps", type=int, default=250)
-    ap.add_argument("--quant", default="", choices=["", "int8"],
-                    help="int8: quantized matmuls (ops/quant.py)")
+    ap.add_argument("--quant", default="",
+                    help="'int8': quantized matmuls on every block; "
+                         "'int8:K': only the first K blocks (large-grid "
+                         "accuracy rescue; ops/quant.py)")
     a = ap.parse_args(argv)
     cfg = ServiceConfig(checkpoint=a.checkpoint, sampler_mode=a.mode,
                         sampling_steps=a.steps, quant=a.quant)

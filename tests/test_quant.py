@@ -179,3 +179,70 @@ def test_quant_service_solves():
     out = svc.solve_puzzle(buf.getvalue())
     assert sorted(out["details"]["predicted_order"]) == list(range(9))
     Image.open(io.BytesIO(base64.b64decode(out["solution_image"])))
+
+
+def test_selective_quant_spec_parsing():
+    from jpdvt_mt_ntnu_tpu.ops.quant import parse_quant_spec
+
+    import pytest
+
+    assert parse_quant_spec("") == (None, None)
+    assert parse_quant_spec(None) == (None, None)
+    assert parse_quant_spec("int8") == ("int8", None)
+    assert parse_quant_spec("int8:8") == ("int8", 8)
+    assert parse_quant_spec("int8:0") == ("int8", 0)
+    with pytest.raises(ValueError):
+        parse_quant_spec("int4")
+    with pytest.raises(ValueError):
+        parse_quant_spec("int8:x")
+
+
+def test_selective_quant_depth_limit():
+    """quant='int8:K' quantizes only the first K blocks: K=0 is bitwise
+    the plain forward, K=depth is bitwise the full-int8 forward, and an
+    intermediate K sits strictly between (differs from both).
+
+    The large-grid rescue (PERF.md round-3 int8: 0.8906 vs 0.9873 puzzle
+    at 16x16) keeps the late blocks — the ones feeding the 8-dim code
+    regression — in the compute dtype."""
+    kwargs = dict(input_size=48, depth=2, hidden_size=64, num_heads=4,
+                  attn_impl="xla")
+    m_f, cfg = create_model("JPDVT", **kwargs)
+    m_q, _ = create_model("JPDVT", **kwargs, quant="int8")
+    m_q0, _ = create_model("JPDVT", **kwargs, quant="int8:0")
+    m_q1, _ = create_model("JPDVT", **kwargs, quant="int8:1")
+    m_q2, _ = create_model("JPDVT", **kwargs, quant="int8:2")
+    args = (jnp.zeros((1, 48, 48, 3)), jnp.array([0]),
+            jnp.zeros((1, cfg.num_tokens, 8)))
+    params = m_f.init(jax.random.key(0), *args)
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.key(1), len(leaves))
+    params = jax.tree.unflatten(treedef, [
+        v + 0.03 * jax.random.normal(k, v.shape, v.dtype)
+        for v, k in zip(leaves, keys)])
+    x = jax.random.normal(jax.random.key(2), (2, 48, 48, 3))
+    t = jnp.array([17, 903])
+    code = jax.random.normal(jax.random.key(3), (2, cfg.num_tokens, 8))
+
+    outs = {}
+    for name, m in [("f", m_f), ("q", m_q), ("q0", m_q0), ("q1", m_q1),
+                    ("q2", m_q2)]:
+        img, c = m.apply(params, x, t, code)
+        outs[name] = (np.asarray(img), np.asarray(c))
+
+    # K=0 == plain, K=depth == full int8 (bitwise)
+    np.testing.assert_array_equal(outs["q0"][1], outs["f"][1])
+    np.testing.assert_array_equal(outs["q2"][1], outs["q"][1])
+    # intermediate K differs from both and stays closer to fp32 than full
+    assert not np.array_equal(outs["q1"][1], outs["f"][1])
+    assert not np.array_equal(outs["q1"][1], outs["q"][1])
+    err_full = np.abs(outs["q"][1] - outs["f"][1]).max()
+    err_half = np.abs(outs["q1"][1] - outs["f"][1]).max()
+    assert err_half <= err_full
+
+    # param tree unchanged by the selective spec (checkpoints interchange)
+    p_sel = m_q1.init(jax.random.key(0), *args)
+    flat_f = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_s = jax.tree_util.tree_flatten_with_path(p_sel)[0]
+    assert [(p, v.shape) for p, v in flat_f] == \
+           [(p, v.shape) for p, v in flat_s]
