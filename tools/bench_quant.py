@@ -63,6 +63,8 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--faithful-iters", type=int, default=3)
+    ap.add_argument("--quants", default="bf16,int8",
+                    help="comma list: bf16 | int8 | int8:K (selective)")
     a = ap.parse_args()
 
     from jpdvt_mt_ntnu_tpu.utils.platform import init_compilation_cache
@@ -70,18 +72,26 @@ def main():
     log(f"backend={jax.default_backend()} image_size={a.image_size} "
         f"batch={a.batch}")
 
+    quants = [q.strip() for q in a.quants.split(",") if q.strip()]
     rows = {}
     for mode, iters in (("fast", a.iters), ("faithful", a.faithful_iters)):
-        for quant in (None, "int8"):
-            solver, params, x = build(mode, a.batch, a.image_size, quant)
+        for quant in quants:
+            q = None if quant == "bf16" else quant
+            solver, params, x = build(mode, a.batch, a.image_size, q)
             tp = pipelined(solver, params, x, iters)
-            rows[f"{mode}_{quant or 'bf16'}"] = round(tp, 2)
-            log(f"{mode:9s} quant={quant or 'bf16':5s}: {tp:10.2f} puzzles/s")
+            rows[f"{mode}_{quant}"] = round(tp, 2)
+            log(f"{mode:9s} quant={quant:7s}: {tp:10.2f} puzzles/s")
             del solver, params, x
     for mode in ("fast", "faithful"):
-        ratio = rows[f"{mode}_int8"] / rows[f"{mode}_bf16"]
-        rows[f"{mode}_speedup"] = round(ratio, 3)
-        log(f"{mode}: int8 is {ratio:.2f}x bf16")
+        base = rows.get(f"{mode}_bf16")
+        if not base:
+            continue
+        for quant in quants:
+            if quant == "bf16":
+                continue
+            ratio = rows[f"{mode}_{quant}"] / base
+            rows[f"{mode}_{quant}_speedup"] = round(ratio, 3)
+            log(f"{mode}: {quant} is {ratio:.2f}x bf16")
     print(json.dumps(rows))
 
 
