@@ -98,6 +98,7 @@ def test_layout_variants_match_fused_qkv():
                                np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # fast tier: pytest -m 'not slow'
 def test_model_layout_impls_match():
     """The DiT forward is impl-independent across the XLA layout variants."""
     from jpdvt_mt_ntnu_tpu.models import create_model

@@ -6,6 +6,7 @@ import os
 import pytest
 
 
+@pytest.mark.slow  # fast tier: pytest -m 'not slow'
 def test_run_train_synthetic(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from jpdvt_mt_ntnu_tpu.train.run_train import main
@@ -32,6 +33,7 @@ def test_run_train_synthetic(tmp_path, monkeypatch):
     assert (exp / "checkpoints").exists()
 
 
+@pytest.mark.slow  # fast tier: pytest -m 'not slow'
 def test_run_train_multi_grid(tmp_path, monkeypatch):
     """task.multi_grid="2,3": one parameter set trains on both grids
     (steps cycle per grid) and validation reports per-grid metrics. The
@@ -75,6 +77,7 @@ def test_run_train_multi_grid_rejects_bad_grid(tmp_path, monkeypatch):
         ])
 
 
+@pytest.mark.slow  # fast tier: pytest -m 'not slow'
 def test_run_train_crop_validation(tmp_path, monkeypatch):
     """task.crop=true: validation must inner-crop val images to the model
     size (regression: 288px batches fed to a crop-trained 192px... here
@@ -138,6 +141,7 @@ def test_run_eval_sequence_parallel(tmp_path, monkeypatch, capsys):
     assert "puzzle_accuracy=" in capsys.readouterr().out
 
 
+@pytest.mark.slow  # fast tier: pytest -m 'not slow'
 def test_run_train_resume(tmp_path, monkeypatch):
     """Full-state CLI resume (reference train_JPDVT.py:239-274)."""
     monkeypatch.chdir(tmp_path)
@@ -173,6 +177,7 @@ def test_run_train_resume(tmp_path, monkeypatch):
                        f"train.resume={tmp_path}/nonexistent"])
 
 
+@pytest.mark.slow  # fast tier: pytest -m 'not slow'
 def test_run_train_warm_start(tmp_path, monkeypatch):
     """train.warm_start: a grid-3@48 checkpoint seeds a grid-6@96 run
     (the ladder mechanism). Unlike resume, new checkpoints land in the NEW
@@ -277,6 +282,7 @@ def test_config_overrides_and_errors():
         apply_overrides(Config(), ["garbage"])
 
 
+@pytest.mark.slow  # fast tier: pytest -m 'not slow'
 def test_run_train_waves_device_stream(tmp_path, monkeypatch):
     """waves + device_stream: fresh on-device batches every step (the
     infinite-data regime), resume continues the stream cursor."""

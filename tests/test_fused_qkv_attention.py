@@ -60,6 +60,7 @@ def _block_weights(h, d, hidden, key=0):
 
 
 @pytest.mark.parametrize("bb", [1, 2, 4])
+@pytest.mark.slow  # fast tier: pytest -m 'not slow'
 def test_attention_block_kernel_matches_xla(bb):
     """Round 3: the whole attention sublayer (qkv proj + MHA + out proj)
     as one program, several batch items packed per program — forward vs

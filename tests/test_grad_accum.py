@@ -22,6 +22,10 @@ import numpy as np
 import optax
 import pytest
 
+# Long-running parity suite: excluded from the fast tier (pytest -m 'not slow');
+# the FULL suite remains the round gate (README quick start shows both).
+pytestmark = pytest.mark.slow
+
 from jpdvt_mt_ntnu_tpu.core.diffusion import create_diffusion
 from jpdvt_mt_ntnu_tpu.models import create_model
 from jpdvt_mt_ntnu_tpu.parallel import MeshSpec, make_mesh, shard_batch

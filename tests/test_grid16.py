@@ -23,6 +23,8 @@ from jpdvt_mt_ntnu_tpu.utils.pos_embed import grid_code
 from test_grid8 import _Oracle8, _slot_images
 
 
+import pytest
+
 def test_grid16_sub1_oracle_perfect():
     # 64px, patch 4 -> 16 tokens/side; grid 16 -> sub = 1 (the 256-piece
     # JPDVT@256 geometry, scaled down)
@@ -37,6 +39,7 @@ def test_grid16_sub1_oracle_perfect():
     assert res.pred.shape == (2, 256)
 
 
+@pytest.mark.slow  # fast tier: pytest -m 'not slow'
 def test_grid16_train_step_runs():
     model, cfg = create_model("JPDVT", input_size=64, depth=1,
                               hidden_size=32, num_heads=2, patch_size=4,

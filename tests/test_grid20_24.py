@@ -26,6 +26,8 @@ from jpdvt_mt_ntnu_tpu.utils.pos_embed import grid_code
 from test_grid8 import _Oracle8, _slot_images
 
 
+import pytest
+
 def _oracle_roundtrip(grid, size, patch):
     _, cfg = create_model("JPDVT", input_size=size, depth=1, hidden_size=32,
                           num_heads=2, patch_size=patch, attn_impl="xla")
@@ -49,6 +51,7 @@ def test_grid24_sub1_oracle_perfect():
     _oracle_roundtrip(24, 96, 4)
 
 
+@pytest.mark.slow  # fast tier: pytest -m 'not slow'
 def test_grid24_train_step_runs():
     model, cfg = create_model("JPDVT", input_size=96, depth=1,
                               hidden_size=32, num_heads=2, patch_size=4,

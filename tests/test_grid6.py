@@ -20,6 +20,8 @@ from jpdvt_mt_ntnu_tpu.train.steps import TrainTask
 from jpdvt_mt_ntnu_tpu.utils.pos_embed import grid_code
 
 
+import pytest
+
 class _Oracle6:
     """Model stub that reads the slot id painted into each piece and emits
     that slot's canonical code for every one of the piece's sub-tokens."""
@@ -60,6 +62,7 @@ def test_grid6_sub2_oracle_perfect():
     assert res.pred.shape == (2, 36)
 
 
+@pytest.mark.slow  # fast tier: pytest -m 'not slow'
 def test_grid6_train_step_runs_and_learns_shapes():
     model, cfg = create_model("JPDVT", input_size=96, depth=1,
                               hidden_size=32, num_heads=2, patch_size=8,

@@ -21,6 +21,8 @@ from jpdvt_mt_ntnu_tpu.train.steps import TrainTask
 from jpdvt_mt_ntnu_tpu.utils.pos_embed import grid_code
 
 
+import pytest
+
 class _Oracle8:
     """Model stub that reads the slot id painted into each piece and emits
     that slot's canonical code for every one of the piece's sub-tokens."""
@@ -61,6 +63,7 @@ def test_grid8_sub1_oracle_perfect():
     assert res.pred.shape == (2, 64)
 
 
+@pytest.mark.slow  # fast tier: pytest -m 'not slow'
 def test_grid8_train_step_runs_and_learns_shapes():
     model, cfg = create_model("JPDVT", input_size=64, depth=1,
                               hidden_size=32, num_heads=2, patch_size=8,

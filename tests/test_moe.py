@@ -23,6 +23,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Long-running parity suite: excluded from the fast tier (pytest -m 'not slow');
+# the FULL suite remains the round gate (README quick start shows both).
+pytestmark = pytest.mark.slow
+
 from jpdvt_mt_ntnu_tpu.core.diffusion import create_diffusion
 from jpdvt_mt_ntnu_tpu.models import create_model
 from jpdvt_mt_ntnu_tpu.models.dit import Mlp

@@ -18,6 +18,8 @@ from jpdvt_mt_ntnu_tpu.ops.quant import (int8_dense, int8_matmul,
                                          quantize_rowwise)
 
 
+import pytest
+
 def _np_int8_dense(x, k, b):
     """Numpy oracle of the exact quantized math in ops/quant.py."""
     x = x.astype(np.float32)
@@ -126,6 +128,7 @@ def test_quant_forward_close_to_fp32():
     assert float(jnp.abs(img_q - img_f).max()) / denom_i < 0.05
 
 
+@pytest.mark.slow  # fast tier: pytest -m 'not slow'
 def test_trained_model_solves_int8():
     """End-to-end gate: the trained fixture keeps solving under int8 —
     same threshold as the bf16 path (test_trained_model.py)."""

@@ -4,6 +4,10 @@ import os
 
 import pytest
 
+# Long-running parity suite: excluded from the fast tier (pytest -m 'not slow');
+# the FULL suite remains the round gate (README quick start shows both).
+pytestmark = pytest.mark.slow
+
 from jpdvt_mt_ntnu_tpu.tools import sampler_table
 
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",

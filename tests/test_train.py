@@ -14,6 +14,8 @@ from jpdvt_mt_ntnu_tpu.train.steps import TrainTask
 from jpdvt_mt_ntnu_tpu.utils.pos_embed import grid_code
 
 
+import pytest
+
 def _setup(size=48, depth=2, hidden=64):
     model, cfg = create_model("JPDVT", input_size=size, depth=depth,
                               hidden_size=hidden, num_heads=4, attn_impl="xla")
@@ -74,6 +76,7 @@ def test_ema_warmup_ramps_decay():
                                rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow  # fast tier: pytest -m 'not slow'
 def test_train_step_sharded_matches_unsharded():
     model, cfg, diff, state, step = _setup(depth=1)
     x = jax.random.normal(jax.random.key(5), (8, 48, 48, 3))
@@ -111,6 +114,7 @@ def test_checkpoint_roundtrip(tmp_path):
     mgr.close()
 
 
+@pytest.mark.slow  # fast tier: pytest -m 'not slow'
 def test_fused_adamw_matches_optax():
     """The single-pass fused AdamW+EMA (state.fused_adamw_ema) must track
     the optax chain step-for-step: params, EMA, moments and count."""

@@ -26,6 +26,8 @@ from jpdvt_mt_ntnu_tpu.train.steps import TrainTask, make_train_step
 from jpdvt_mt_ntnu_tpu.utils.pos_embed import grid_code
 
 
+import pytest
+
 def _build(size, grid, seed=0):
     """Tiny JPDVT at (size, grid) with 16px pieces — mirrors the ladder's
     sub=1 geometry where piece size stays fixed as the grid scales."""
@@ -42,6 +44,7 @@ def _build(size, grid, seed=0):
     return state, step
 
 
+@pytest.mark.slow  # fast tier: pytest -m 'not slow'
 def test_cross_grid_restore_and_step(tmp_path):
     """A grid-3@48 checkpoint restores into a grid-6@96 state (same 16px
     pieces) and the grid-6 train step runs on it — the exact production
@@ -82,6 +85,7 @@ def test_param_tree_is_geometry_independent():
     assert shapes3 == shapes6
 
 
+@pytest.mark.slow  # fast tier: pytest -m 'not slow'
 def test_ema_anchor_rearms_warmup():
     """TrainTask.ema_anchor shifts the warmup ramp's origin: a warm-started
     step (state.step = anchor) must use the FAST early decay, not the
