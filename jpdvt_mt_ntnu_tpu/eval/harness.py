@@ -179,6 +179,8 @@ class EvalHarness:
         chunks = [todo[i:i + self.batch_size]
                   for i in range(0, len(todo), self.batch_size)]
 
+        last_done: list = [None]  # completion time of the previous batch
+
         def finalize(names, batch, thunk, t0):
             # Blocks on batch N's D2H while the device runs batch N+1
             # (already dispatched) — the solve queue never drains.
@@ -189,7 +191,13 @@ class EvalHarness:
                 self.err_logger.error(
                     f"Batch solve failed ({names[0]}...): {e}")
                 return
-            elapsed = time.time() - t0
+            # Under pipelining, (now - t0) spans TWO batches (batch N's
+            # window overlaps batch N+1's prefetch+dispatch) and would
+            # double-count.  The honest steady-state rate is the
+            # completion-to-completion interval.
+            now = time.time()
+            elapsed = now - (last_done[0] if last_done[0] is not None else t0)
+            last_done[0] = now
             per_item = elapsed / len(names)
             writes.append(writer.submit(write_results, names, batch, res,
                                         per_item))
