@@ -99,3 +99,19 @@ def test_save_images(tmp_path):
     out = os.listdir(tmp_path / "out" / "Grid3")
     assert any("original" in f for f in out)
     assert any("pAcc=1" in f for f in out)
+
+
+def test_harness_logged_intervals_sum_to_total(tmp_path):
+    # Under software pipelining each batch's naive (t_done - t_dispatch)
+    # span covers TWO batches (the next batch's prefetch+dispatch overlaps
+    # it); the harness must log completion-to-completion intervals, which
+    # partition the wall clock: their sum can never exceed the total.
+    solver = _solver()
+    logs = str(tmp_path / "logs")
+    h = EvalHarness(solver, None, logs_dir=logs, batch_size=4)
+    rep = h.run_dataset(_SlotDataset(16))
+    assert rep.count == 16
+    j = ProgressJournal(logs).load()
+    # per_item journal times are interval/len(batch): 4 batches of 4
+    # (2dp CSV rounding -> up to 16 * 0.005 slack).
+    assert j.total_time <= rep.total_time_s + 0.1
