@@ -225,10 +225,11 @@ class SyntheticPuzzles:
 
     def __init__(self, image_size: int = 192, n: int = 1024, seed: int = 0,
                  cache: bool = True, position_cues: bool = True,
-                 cues: str | None = None):
+                 cues: str | None = None, hard_frac: float = 0.0):
         self.image_size = image_size
         self.n = n
         self.seed = seed
+        self.hard_frac = float(hard_frac)
         if cues is None:
             cues = "coords" if position_cues else "none"
         if cues not in ("coords", "natural", "waves", "none"):
@@ -259,8 +260,29 @@ class SyntheticPuzzles:
         """Per-image plane-wave parameters, padded to _WAVES_MAX_K rows
         (zero-amplitude padding). Drawn on host so the host and device
         generators share one RNG stream; values then differ only at fp32
-        rounding between numpy and XLA sin."""
+        rounding between numpy and XLA sin.
+
+        ``hard_frac``: probability of forcing the draw into the measured
+        hard region of the 20x20 capability cliff — k=2, pairwise angle
+        > 1.2 rad, max frequency > 0.85 (PERF.md "20x20 plateau": that
+        8.8% of natural draw space carries a 30% failure rate vs 3.7%
+        outside). Oversampling it is the curriculum lever the cliff
+        analysis points at; draws stay deterministic per (seed, i)."""
         rng = np.random.default_rng(self.seed * 1000003 + i)
+        if self.hard_frac and rng.random() < self.hard_frac:
+            th = rng.uniform(0, np.pi)
+            # second orientation 1.2..pi/2 rad away (mod pi), random side
+            th2 = th + rng.choice([-1, 1]) * rng.uniform(1.2, np.pi / 2)
+            th = np.mod([th, th2], np.pi)
+            f = np.array([rng.uniform(0.85, 1.0), rng.uniform(0.25, 1.0)])
+            rng.shuffle(f)
+            pad = self._WAVES_MAX_K - 2
+            return (np.pad(th, (0, pad)).astype(np.float32),
+                    np.pad(f, (0, pad)).astype(np.float32),
+                    np.pad(rng.uniform(0, 2 * np.pi, 2),
+                           (0, pad)).astype(np.float32),
+                    np.pad(rng.uniform(0.3, 1.0, (2, 3)),
+                           ((0, pad), (0, 0))).astype(np.float32))
         # Mostly 2 components (3 at 30%): enough that the joint field is
         # identifiable, few enough that it is inferable. Frequencies are
         # ULTRA-low (0.25-1.0 cycles/image): the easiest draws are

@@ -50,7 +50,8 @@ def build_datasets(cfg: Config):
         train = SyntheticPuzzles(288 if cfg.task.crop else size,
                                  n=d.synthetic_n,
                                  position_cues=d.synthetic_position_cues,
-                                 cues=d.synthetic_cues or None)
+                                 cues=d.synthetic_cues or None,
+                                 hard_frac=d.synthetic_hard_frac)
         val = SyntheticPuzzles(288 if cfg.task.crop else size, n=128, seed=7,
                                position_cues=d.synthetic_position_cues,
                                cues=d.synthetic_cues or None)

@@ -108,6 +108,10 @@ class DataConfig:
     # single piece carries zero position signal; only cross-piece field
     # inference places pieces).
     synthetic_cues: str = ""
+    # waves-only: probability of forcing a draw into the measured hard
+    # region of the 20x20 cliff (k=2, angle>1.2rad, fmax>0.85 — PERF.md
+    # "20x20 plateau"). 0 = the natural draw distribution (8.8% hard).
+    synthetic_hard_frac: float = 0.0
     # waves-only: synthesize a FRESH batch on device every step (infinite
     # data — each image is ~10 wave parameters, so any finite cache is
     # memorizable; streaming removes that failure mode). synthetic_n then

@@ -230,3 +230,47 @@ def test_waves_components_not_near_parallel():
         d = np.minimum(d, np.pi - d)
         iu = np.triu_indices(len(t), 1)
         assert (d[iu] >= 0.5).all()
+
+
+def test_waves_hard_frac_targets_measured_region():
+    """hard_frac=1 forces every draw into the measured 20x20 cliff region
+    (k=2, pairwise angle > 1.2 rad, max frequency > 0.85 — PERF.md "20x20
+    plateau"); hard_frac=0 leaves the stream bit-identical to the default;
+    draws stay deterministic per (seed, i) and valid for the device path."""
+    hard = SyntheticPuzzles(48, n=32, cues="waves", hard_frac=1.0)
+    for i in range(32):
+        th, f, ph, amp = hard._wave_params(i)
+        live = amp.sum(-1) > 0
+        assert live.sum() == 2
+        t = th[live]
+        d = np.abs(t[0] - t[1])
+        d = min(d, np.pi - d)
+        assert d > 1.2
+        assert f[live].max() > 0.85
+        assert (f[live] >= 0.25).all() and (f[live] <= 1.0).all()
+    # determinism per (seed, i)
+    a = hard._wave_params(5)
+    b = SyntheticPuzzles(48, n=32, cues="waves", hard_frac=1.0)._wave_params(5)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    # hard_frac=0 is bit-identical to the default stream
+    base = SyntheticPuzzles(48, n=8, cues="waves")
+    off = SyntheticPuzzles(48, n=8, cues="waves", hard_frac=0.0)
+    for i in range(8):
+        np.testing.assert_array_equal(base[i], off[i])
+    # mixing: ~half the draws land in the hard region
+    mix = SyntheticPuzzles(48, n=256, cues="waves", hard_frac=0.5)
+    n_hard = 0
+    for i in range(256):
+        th, f, ph, amp = mix._wave_params(i)
+        live = amp.sum(-1) > 0
+        t = th[live]
+        d = np.abs(t[:, None] - t[None, :])
+        d = np.minimum(d, np.pi - d)
+        iu = np.triu_indices(len(t), 1)
+        if live.sum() == 2 and (d[iu] > 1.2).all() and f[live].max() > 0.85:
+            n_hard += 1
+    assert 90 <= n_hard <= 190  # 0.5 +- noise (plus ~4% natural hard draws)
+    # hard draws render through the shared host field path
+    img = hard[0]
+    assert img.shape == (48, 48, 3) and np.abs(img).max() <= 1.0
