@@ -155,7 +155,7 @@ def main(argv=None) -> int:
                           grid_size=cfg.task.grid_size,
                           mode=cfg.diffusion.sampler_mode,
                           assignment_method=cfg.eval.assignment,
-                          seed=cfg.eval.seed)
+                          seed=cfg.eval.seed, votes=cfg.eval.votes)
 
     def harness(logs_dir, journal_name="inference_progress.csv"):
         return EvalHarness(

@@ -58,7 +58,7 @@ class PuzzleSolver:
                  grid_size: int = 3, mode: str = "faithful",
                  assignment_method: str = "greedy", seed: int = 0,
                  donate_condition: bool = False, mesh=None,
-                 microbatch: Optional[int] = None):
+                 microbatch: Optional[int] = None, votes: int = 1):
         cfg = model_config
         self.model = model
         self.cfg = cfg
@@ -88,9 +88,17 @@ class PuzzleSolver:
         # compiled step program, full throughput at any batch size.
         # None = auto (32 per data shard); 0 = never chunk.
         self.microbatch = microbatch
+        # Test-time re-scramble voting (votes > 1): the solve is
+        # deterministic (fixed noise template), so augmentation comes from
+        # solving the SAME puzzle under `votes` different piece
+        # arrangements and averaging the mapped-back distance matrices
+        # before the single assignment. Attacks arrangement-dependent
+        # field misestimates (PERF.md round-4 "20x20 plateau").
+        self.votes = int(votes)
         donate = (1,) if donate_condition else ()
         self._solve_codes = jax.jit(self._solve_codes_impl, donate_argnums=donate)
         self._solve_and_score = jax.jit(self._solve_and_score_impl)
+        self._solve_and_score_votes = jax.jit(self._solve_and_score_votes_impl)
         self._scramble = jax.jit(self._scramble_impl)
 
     # ------------------------------------------------------------- programs
@@ -189,6 +197,31 @@ class PuzzleSolver:
         puzzle, patch = assignment.permutation_metrics(pred, indices)
         return pred, puzzle, patch, dist
 
+    def _solve_and_score_votes_impl(self, params, x, indices, sigmas):
+        """Re-scramble-augmented solve: one solve of the base arrangement
+        plus one per extra arrangement ``sigmas[v]`` (applied ON TOP of the
+        base scramble), distance rows mapped back to base-scramble piece
+        order and averaged; ONE assignment on the averaged distances.
+
+        Mapping: vote image slot j' holds base-scramble piece sigma[j'],
+        so mapped[i] = dist_v[argsort(sigma)[i]] restores row i = base
+        piece i. The vote loop unrolls (votes is small and static).
+        """
+        x_scr = jigsaw.scramble(x, indices, self.grid)
+        _, dist = self._solve_codes_impl(params, x_scr)
+        total = dist.astype(jnp.float32)
+        for v in range(sigmas.shape[0]):
+            sv = sigmas[v]
+            _, dv = self._solve_codes_impl(
+                params, jigsaw.scramble(x_scr, sv, self.grid))
+            inv = jnp.argsort(sv, axis=-1)
+            total = total + jnp.take_along_axis(
+                dv.astype(jnp.float32), inv[..., None], axis=1)
+        avg = total / (1 + sigmas.shape[0])
+        pred = assignment.greedy_permutation(avg)
+        puzzle, patch = assignment.permutation_metrics(pred, indices)
+        return pred, puzzle, patch, avg
+
     # ------------------------------------------------------------------ API
 
     def _place(self, *arrays):
@@ -233,9 +266,20 @@ class PuzzleSolver:
         (reference inference.py:304 runs sklearn per image instead).
         """
         p = self.grid * self.grid
-        indices = jigsaw.random_permutations(rng, x.shape[0], p)
-        x, indices = self._place(x, indices)
-        pred, puzzle, patch, dist = self._solve_and_score(params, x, indices)
+        if self.votes > 1:
+            k_ind, k_sig = jax.random.split(rng)
+            indices = jigsaw.random_permutations(k_ind, x.shape[0], p)
+            sigmas = jigsaw.random_permutations(
+                k_sig, (self.votes - 1) * x.shape[0], p).reshape(
+                    self.votes - 1, x.shape[0], p)
+            x, indices = self._place(x, indices)
+            pred, puzzle, patch, dist = self._solve_and_score_votes(
+                params, x, indices, sigmas)
+        else:
+            indices = jigsaw.random_permutations(rng, x.shape[0], p)
+            x, indices = self._place(x, indices)
+            pred, puzzle, patch, dist = self._solve_and_score(params, x,
+                                                              indices)
         if self.assignment_method == "hungarian":
             from ..ops import native
 

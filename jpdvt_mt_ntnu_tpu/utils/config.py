@@ -163,6 +163,10 @@ class EvalConfig:
     batch_size: int = 64
     seed: int = 0
     assignment: str = "greedy"        # greedy | hungarian
+    # Test-time re-scramble voting: solve each puzzle under `votes`
+    # arrangements and assign once on the averaged distance matrices
+    # (costs votes x solve time; see PERF.md round-4 "20x20 plateau").
+    votes: int = 1
     use_ema: bool = True
     # Evaluate despite a checkpoint-metadata/config conflict (model name,
     # image size, grid) — guards against the reference's '4_Fail' class of

@@ -179,3 +179,59 @@ def test_hungarian_mesh_sharded_matches_greedy():
     np.testing.assert_array_equal(res["hungarian"].pred, res["greedy"].pred)
     np.testing.assert_array_equal(res["hungarian"].indices,
                                   res["greedy"].indices)
+
+
+def test_votes_oracle_perfect_and_mapping_consistent():
+    """Re-scramble voting (votes=3): the oracle solves every arrangement
+    perfectly, so voting must stay 1.0 — this pins the inverse mapping
+    (a wrong argsort/take_along_axis would make the vote distance rows
+    disagree and collapse accuracy) for both assignment methods."""
+    _, cfg = create_model("JPDVT", input_size=48, depth=1, hidden_size=32,
+                          num_heads=2, attn_impl="xla")
+    for method in ("greedy", "hungarian"):
+        solver = PuzzleSolver(_OracleModel(cfg, 3), cfg,
+                              create_diffusion("5"), grid_size=3,
+                              mode="faithful", assignment_method=method,
+                              votes=3)
+        res = solver.evaluate(None, _slot_images(4, 48, 3),
+                              jax.random.key(1))
+        assert res.puzzle_accuracy == 1.0, method
+        assert res.pred.shape == (4, 9)
+
+
+def test_votes_rescue_adversarial_arrangement():
+    """A model whose distance estimate is corrupted for ONE specific
+    arrangement (the base scramble) is rescued by votes=4: the three
+    clean vote arrangements outvote the corrupted base distances."""
+
+    class _FlakyOracle(_OracleModel):
+        """Oracle that garbles its codes whenever piece 0 sits at slot 0
+        (an arrangement-dependent failure, like the measured 20x20
+        cliff's field misestimates)."""
+
+        def apply(self, params, condition, t, code):
+            cond, toks = super().apply(params, condition, t, code)
+            bad = (condition[:, 0, 0, 0] == 0.0)  # slot 0 holds piece 0
+            flipped = jnp.flip(toks, axis=1)
+            toks = jnp.where(bad[:, None, None], flipped, toks)
+            return cond, toks
+
+    _, cfg = create_model("JPDVT", input_size=48, depth=1, hidden_size=32,
+                          num_heads=2, attn_impl="xla")
+    model = _FlakyOracle(cfg, 3)
+    x = _slot_images(8, 48, 3)
+    # identity scramble puts piece 0 at slot 0 -> the base solve garbles.
+    # Find an rng whose base scramble triggers the failure for >=1 image
+    # by using a fixed key and asserting relative improvement instead.
+    base = PuzzleSolver(model, cfg, create_diffusion("5"), grid_size=3,
+                        mode="faithful")
+    voted = PuzzleSolver(model, cfg, create_diffusion("5"), grid_size=3,
+                         mode="faithful", votes=4)
+    accs = []
+    for k in range(6):
+        b = base.evaluate(None, x, jax.random.key(k)).puzzle_accuracy
+        v = voted.evaluate(None, x, jax.random.key(k)).puzzle_accuracy
+        accs.append((b, v))
+    # voting never hurts and strictly rescues at least one garbled batch
+    assert all(v >= b for b, v in accs), accs
+    assert any(v > b for b, v in accs), accs
