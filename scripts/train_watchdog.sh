@@ -67,9 +67,13 @@ while :; do
     sleep "${POLL_SECS}"
     NOW=$(date +%s)
     LAST=$(newest_mtime)
-    # Before the first output of THIS attempt, measure from launch
-    # (restore + compile produce no log lines for many minutes).
-    if [ "${LAST}" -lt "${LAUNCHED}" ]; then
+    # Before the first REAL progress of THIS attempt, measure from launch
+    # (restore + compile produce no step lines for many minutes). Two
+    # cases: (a) nothing written since launch; (b) the startup config dump
+    # touched log.txt but no training step has landed yet — metrics.jsonl
+    # is still absent/empty (round-5 incident: the 600s stall limit killed
+    # a healthy first compile because the config dump reset the clock).
+    if [ "${LAST}" -lt "${LAUNCHED}" ] || [ ! -s "${EXP_DIR}/metrics.jsonl" ]; then
       AGE=$((NOW - LAUNCHED))
       LIMIT=$((LAUNCH_GRACE))
     else
