@@ -32,22 +32,20 @@ def test_region_fraction_matches_measured_prevalence():
 
 def test_hard_frac_draws_land_in_region():
     """Every hard_frac-forced draw must be classified IN-region by the
-    report tool (the oversampler and the yardstick agree on geometry)."""
+    report tool's OWN predicate (classify_params is shared between the
+    tool and this test precisely so threshold drift in either the
+    oversampler or the yardstick fails here — ADVICE r4)."""
     sys.path.insert(0, REPO)
     from jpdvt_mt_ntnu_tpu.data import SyntheticPuzzles
+    from tools.cliff_report import classify_params
 
     ds = SyntheticPuzzles(64, n=64, seed=3, cues="waves", hard_frac=1.0)
-    from tools.cliff_report import classify
-
     for i in range(64):
         th, f, ph, amp = ds._wave_params(i)
-        k = int(np.count_nonzero(np.any(amp != 0, axis=1)))
-        d = np.abs(th[:k, None] - th[None, :k])
-        d = np.minimum(d, np.pi - d)
-        pair = d[np.triu_indices(k, 1)]
+        hard, k, _, fm = classify_params(th, f, amp, 1.2, 0.85)
+        assert hard, (i, th, f)
         assert k == 2
-        assert pair.max() > 1.2
-        assert f[:k].max() > 0.85
+        assert fm > 0.85
 
 
 def test_cli_reproduces_committed_r4_numbers(tmp_path):
@@ -57,10 +55,11 @@ def test_cli_reproduces_committed_r4_numbers(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     subprocess.run(
         [sys.executable, "tools/cliff_report.py", JOURNAL,
-         "--seed", "11", "--out", str(out)],
+         "--seed", "11", "--grid", "20", "--out", str(out)],
         cwd=REPO, env=env, check=True, capture_output=True)
     rep = json.loads(out.read_text())
     assert rep["n"] == 1024
+    assert rep["grid_slots"] == 400
     assert rep["n_in_region"] == 90
     assert abs(rep["fail_rate_in"] - 0.30) < 1e-6
     assert abs(rep["fail_rate_out"] - 0.0375) < 1e-3

@@ -30,9 +30,27 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
+def classify_params(th, f, amp, angle: float, fmax: float):
+    """The region predicate, shared by this tool and the tests so the
+    oversampler (data.synthetic_hard_frac) and this yardstick cannot
+    drift apart silently (ADVICE r4). th/f: (K,), amp: (K, 3) padded
+    wave parameters as _wave_params returns them.
+    -> (in_hard_region, k, min_pairwise_angle, max_frequency)."""
+    k = int(np.count_nonzero(np.any(amp != 0, axis=1)))
+    th = np.asarray(th)[:k]
+    d = np.abs(th[:, None] - th[None, :])
+    d = np.minimum(d, np.pi - d)
+    pair = d[np.triu_indices(k, 1)]
+    min_angle = float(pair.min()) if pair.size else 0.0
+    max_gap = float(pair.max()) if pair.size else 0.0
+    fm = float(np.asarray(f)[:k].max())
+    hard = (k == 2) and (max_gap > angle) and (fm > fmax)
+    return hard, k, min_angle, fm
+
+
 def classify(i: int, seed: int, angle: float, fmax: float):
-    """-> (in_hard_region, k, min_pairwise_angle, max_frequency) for
-    natural draw i of the seed's stream (hard_frac=0 eval distribution)."""
+    """-> classify_params(...) for natural draw i of the seed's stream
+    (hard_frac=0 eval distribution)."""
     from jpdvt_mt_ntnu_tpu.data import SyntheticPuzzles
 
     ds = classify._ds
@@ -40,16 +58,7 @@ def classify(i: int, seed: int, angle: float, fmax: float):
         ds = SyntheticPuzzles(64, n=1, seed=seed, cues="waves")
         classify._ds = ds
     th, f, ph, amp = ds._wave_params(i)
-    k = int(np.count_nonzero(np.any(amp != 0, axis=1)))
-    th = th[:k]
-    d = np.abs(th[:, None] - th[None, :])
-    d = np.minimum(d, np.pi - d)
-    pair = d[np.triu_indices(k, 1)]
-    min_angle = float(pair.min()) if pair.size else 0.0
-    max_gap = float(pair.max()) if pair.size else 0.0
-    fm = float(f[:k].max())
-    hard = (k == 2) and (max_gap > angle) and (fm > fmax)
-    return hard, k, min_angle, fm
+    return classify_params(th, f, amp, angle, fmax)
 
 
 classify._ds = None
@@ -61,47 +70,60 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--angle", type=float, default=1.2)
     ap.add_argument("--fmax", type=float, default=0.85)
+    ap.add_argument("--grid", type=int, default=0,
+                    help="grid size of the run (slots = grid**2). 0 falls "
+                         "back to max(patch_matches) with a warning, which "
+                         "UNDERCOUNTS misplacements if no row is fully "
+                         "solved (ADVICE r4)")
     ap.add_argument("--out", default="", help="write the JSON line here too")
     args = ap.parse_args()
 
     rows = []
     with open(args.journal) as fh:
         for row in csv.DictReader(fh):
-            m = re.search(r"(\d+)", row["filename"])
+            # Anchored to the synthetic naming (datasets.py image_files =
+            # synthetic_%06d.png): a loose (\d+) would match directory
+            # digits for path-keyed rows (ADVICE r4). Non-synthetic rows
+            # are a usage error, not something to skip silently.
+            m = re.search(r"synthetic_(\d+)", row["filename"])
             if not m:
-                continue
+                print(f"row {row['filename']!r} is not a synthetic-waves "
+                      f"journal entry; this tool conditions on the "
+                      f"regenerated wave draw (seed, index)", file=sys.stderr)
+                return 1
             rows.append((int(m.group(1)), int(row["puzzle_correct"]),
                          int(row["patch_matches"])))
     if not rows:
         print("no journal rows", file=sys.stderr)
         return 1
 
+    if args.grid:
+        grid_slots = args.grid ** 2
+    else:
+        grid_slots = max(patches for _, _, patches in rows)
+        print(f"warning: --grid not given; assuming {grid_slots} slots "
+              f"from max(patch_matches) — wrong for journals with no "
+              f"fully-solved puzzle", file=sys.stderr)
+
     n_in = fail_in = n_out = fail_out = 0
     mis_in = mis_out = 0
-    grid_slots = None
     for i, ok, patches in rows:
         hard, k, _, _ = classify(i, args.seed, args.angle, args.fmax)
-        if grid_slots is None or patches > grid_slots:
-            grid_slots = patches  # best lower bound: a solved row = all slots
+        mis = grid_slots - patches
         if hard:
             n_in += 1
             fail_in += 1 - ok
+            mis_in += mis
         else:
             n_out += 1
             fail_out += 1 - ok
-    # second pass for misplacement mass now that grid_slots is known
-    for i, ok, patches in rows:
-        hard, *_ = classify(i, args.seed, args.angle, args.fmax)
-        mis = grid_slots - patches
-        if hard:
-            mis_in += mis
-        else:
             mis_out += mis
 
     rep = {
         "journal": args.journal,
         "seed": args.seed,
         "region": {"k": 2, "angle_gt": args.angle, "fmax_gt": args.fmax},
+        "grid_slots": grid_slots,
         "n": len(rows),
         "n_in_region": n_in,
         "region_frac": round(n_in / len(rows), 4),
