@@ -47,6 +47,23 @@ class ServiceConfig:
     # (ops/quant.py) — the v5e 2x-peak serving path. Checkpoints are
     # unchanged (quantization is in-graph from the float params).
     quant: str = ""
+    # Per-checkpoint quantization gate. Round 4 measured that int8's
+    # accuracy cost is CHECKPOINT-specific, not geometric (PERF.md "int8 at
+    # 16x16 revisited": 9.7pt collapse on one 16x16 checkpoint, 1.0pt on
+    # another — same geometry, same code), so a quantized service must
+    # validate the loaded weights, not rely on a one-time benchmark. When
+    # ``quant`` is set, startup solves ``quant_gate_n`` synthetic wave
+    # puzzles with the quantized model AND a non-quantized twin (same
+    # params; quantization is in-graph) and compares predicted
+    # permutations: patch disagreement above ``quant_gate_tol`` refuses to
+    # serve ("strict"), logs a warning ("warn"), or is skipped ("off").
+    # Fast-mode solves are used for both: the solve is decided by the x0
+    # prediction, which fast mode preserves exactly (PERF.md sampler
+    # invariance), so the gate costs two small batch solves, not two
+    # 250-step chains.
+    quant_gate: str = "strict"        # strict | warn | off
+    quant_gate_n: int = 32
+    quant_gate_tol: float = 0.02
     # Request micro-batching: >0 enables a MicroBatcher that stacks
     # concurrent solve requests arriving within this window into ONE padded
     # device batch (see serve/plugins.py). 0 = one program per request.
@@ -96,6 +113,8 @@ class PuzzleService:
             overrides["num_heads"] = cfg.num_heads
         if cfg.quant:
             overrides["quant"] = cfg.quant
+        self._dtype = dtype
+        self._overrides = overrides
         self.model, self.model_cfg = create_model(
             cfg.model_name, cfg.image_size, dtype=dtype, **overrides)
         self.params = self._load_params()
@@ -105,6 +124,61 @@ class PuzzleService:
                                    mode=cfg.sampler_mode, seed=cfg.seed)
         self._rng = np.random.default_rng(cfg.seed)
         self._batchers: dict = {}
+        self.quant_gate_report: Optional[dict] = None
+        if cfg.quant and cfg.quant_gate != "off":
+            self.quant_gate_report = self._run_quant_gate()
+
+    def _run_quant_gate(self) -> dict:
+        """int8-vs-bf16 solve agreement on the LOADED checkpoint; see
+        ``ServiceConfig.quant_gate``. Returns the report; raises
+        RuntimeError in strict mode when disagreement exceeds tolerance."""
+        import logging
+
+        from ..data.datasets import SyntheticPuzzles
+
+        cfg = self.cfg
+        base = {k: v for k, v in self._overrides.items() if k != "quant"}
+        ref_model, ref_cfg = create_model(
+            cfg.model_name, cfg.image_size, dtype=self._dtype, **base)
+        diffusion = self.solver.diffusion
+        q_solver = (self.solver if self.solver.mode == "fast" else
+                    PuzzleSolver(self.model, self.model_cfg, diffusion,
+                                 grid_size=cfg.grid_size, mode="fast",
+                                 seed=cfg.seed))
+        b_solver = PuzzleSolver(ref_model, ref_cfg, diffusion,
+                                grid_size=cfg.grid_size, mode="fast",
+                                seed=cfg.seed)
+        n, p = cfg.quant_gate_n, cfg.grid_size ** 2
+        ds = SyntheticPuzzles(cfg.image_size, n=n, seed=20_240_814,
+                              cache=False, cues="waves")
+        imgs = np.stack([ds[i] for i in range(n)])
+        rng = np.random.default_rng(20_240_814)
+        perms = np.stack([rng.permutation(p) for _ in range(n)])
+        scrambled = jigsaw.scramble(jnp.asarray(imgs), jnp.asarray(perms),
+                                    cfg.grid_size)
+        pred_q = q_solver.solve(self.params, scrambled)
+        pred_b = b_solver.solve(self.params, scrambled)
+        patch_dis = float((pred_q != pred_b).mean())
+        puzzle_dis = float((pred_q != pred_b).any(axis=1).mean())
+        report = {
+            "quant": cfg.quant, "n": n, "grid_size": cfg.grid_size,
+            "patch_disagreement": patch_dis,
+            "puzzle_disagreement": puzzle_dis,
+            "tol": cfg.quant_gate_tol, "mode": cfg.quant_gate,
+            "passed": patch_dis <= cfg.quant_gate_tol,
+        }
+        if not report["passed"]:
+            msg = (f"quant gate: {cfg.quant} disagrees with the unquantized "
+                   f"solve on {patch_dis:.1%} of patches "
+                   f"({puzzle_dis:.1%} of {n} puzzles) for THIS checkpoint "
+                   f"— above tol {cfg.quant_gate_tol:.1%}. Quantization "
+                   f"tolerance is checkpoint-specific (PERF.md round 4); "
+                   f"serve bf16, or set quant_gate='warn'/'off' to "
+                   f"override.")
+            if cfg.quant_gate == "strict":
+                raise RuntimeError(msg)
+            logging.getLogger("jpdvt.serve").warning(msg)
+        return report
 
     def _load_params(self):
         cfg, m = self.cfg, self.model_cfg
