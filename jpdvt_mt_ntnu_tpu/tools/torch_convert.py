@@ -155,8 +155,23 @@ def save_npz_params(path: str, params: dict) -> None:
 
 
 def load_npz_params(path: str) -> dict:
+    """Load a flattened-params npz (converter output or a durable export).
+
+    Keys suffixed ``__bf16`` hold bfloat16 bit patterns as uint16 (numpy
+    can't self-describe bfloat16 in the npy header — tools/export_ckpt.py
+    writes these); they are decoded and upcast to float32 here so callers
+    see ordinary float params either way."""
+    import ml_dtypes
+
     with np.load(path) as z:
-        return _unflatten({k: z[k] for k in z.files})
+        flat = {}
+        for k in z.files:
+            if k.endswith("__bf16"):
+                flat[k[: -len("__bf16")]] = (
+                    z[k].view(ml_dtypes.bfloat16).astype(np.float32))
+            else:
+                flat[k] = z[k]
+        return _unflatten(flat)
 
 
 def convert_checkpoint(torch_path: str, out_path: str, depth: int = 12,

@@ -264,3 +264,22 @@ def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
 
 def parse_config(argv: Sequence[str]) -> Config:
     return apply_overrides(Config(), list(argv))
+
+
+def config_from_dict(d: dict) -> Config:
+    """Rebuild a Config from a ``to_dict()``/run_config.json dump.
+
+    Unknown keys are ignored (older dumps may lack fields added since, and
+    newer dumps may carry fields an older reader doesn't know): the result
+    is Config defaults overlaid with every recognized recorded value."""
+    cfg = Config()
+    for section_field in dataclasses.fields(cfg):
+        sub = d.get(section_field.name)
+        if not isinstance(sub, dict):
+            continue
+        obj = getattr(cfg, section_field.name)
+        known = {f.name for f in dataclasses.fields(obj)}
+        for k, v in sub.items():
+            if k in known:
+                setattr(obj, k, v)
+    return cfg
