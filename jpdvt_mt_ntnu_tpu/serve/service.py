@@ -208,10 +208,17 @@ class PuzzleService:
         api/app.py:453-552)."""
         from .plugins import list_solvers
 
+        default = {"id": "default", "name": self.cfg.model_name,
+                   "description": f"{self.cfg.grid_size}x{self.cfg.grid_size} "
+                                  "Grid Jigsaw Puzzle Solver"}
+        if self.cfg.quant:
+            # Quantized deployments surface their startup gate verdict so
+            # operators can see agreement-vs-float without reading logs
+            # (the gate exists because int8 cost is checkpoint-specific).
+            default["quant"] = self.cfg.quant
+            default["quant_gate"] = self.quant_gate_report
         return [
-            {"id": "default", "name": self.cfg.model_name,
-             "description": f"{self.cfg.grid_size}x{self.cfg.grid_size} "
-                            "Grid Jigsaw Puzzle Solver"},
+            default,
             {"id": "fast", "name": f"{self.cfg.model_name} (fast)",
              "description": "Mathematically-equivalent single-step solver"},
         ] + [p.info.to_dict() for p in list_solvers()]

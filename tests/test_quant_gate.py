@@ -62,3 +62,14 @@ def test_cli_override_translation():
          "--n", "8", "serve.quant_gate_out=g.json"])
     assert argv == ["--model", "JPDVT", "--checkpoint", "ck",
                     "--grid", "3", "--n", "8", "--out", "g.json"]
+
+
+def test_models_endpoint_surfaces_gate_report():
+    svc = PuzzleService(ServiceConfig(
+        quant="int8", quant_gate="warn", quant_gate_n=2, **TINY))
+    default = svc.models()[0]
+    assert default["quant"] == "int8"
+    assert default["quant_gate"] == svc.quant_gate_report
+    # unquantized service keeps the original row shape (no gate keys)
+    svc2 = PuzzleService(ServiceConfig(**TINY))
+    assert "quant" not in svc2.models()[0]
