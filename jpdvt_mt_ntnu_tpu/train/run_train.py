@@ -407,8 +407,15 @@ def main(argv=None) -> int:
                                  jnp.bool_(erng.random() < 0.5))
             yield batch
 
+    # train.epochs is a TOTAL budget: epochs*steps_per_epoch is an absolute
+    # step target, so a resumed run (watchdog relaunch, preemption) trains
+    # only the remainder instead of re-adding the full budget — a late
+    # wedge on a multi-hour rung must not double its wall-clock. Fresh
+    # runs are unchanged (they start at step 0).
+    steps_per_epoch = max(1, len(loader))
+    target_steps = cfg.train.epochs * steps_per_epoch
     logger.info(f"Training for {cfg.train.epochs} epochs, "
-                f"{len(loader)} steps/epoch")
+                f"{steps_per_epoch} steps/epoch (target step {target_steps})")
     # Losses stay ON DEVICE until the log boundary; the host reads one mean
     # back per window. A per-step float(...) would block on the device every
     # step and serialize dispatch (the async dispatch queue is what hides
@@ -420,10 +427,10 @@ def main(argv=None) -> int:
     guard = _PreemptionGuard()
     guard.__enter__()
     for epoch in range(cfg.train.epochs):
-        if guard.preempted:
+        if guard.preempted or step >= target_steps:
             break
         for batch in epoch_batches(epoch):
-            if guard.preempted:
+            if guard.preempted or step >= target_steps:
                 break
             state, metrics = grid_steps[step % len(grid_steps)](
                 state, batch, rng)

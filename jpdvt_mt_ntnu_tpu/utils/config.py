@@ -121,6 +121,9 @@ class DataConfig:
 
 @dataclasses.dataclass
 class TrainConfig:
+    # Total budget: epochs*steps_per_epoch is an ABSOLUTE step target, so a
+    # resumed run trains only the remainder (a relaunch must not re-add the
+    # full budget to a multi-hour rung).
     epochs: int = 500
     lr: float = 1e-4
     weight_decay: float = 0.0
