@@ -244,9 +244,23 @@ def main(argv=None) -> int:
                     help="'int8': quantized matmuls on every block; "
                          "'int8:K': only the first K blocks (large-grid "
                          "accuracy rescue; ops/quant.py)")
+    ap.add_argument("--model", default="JPDVT")
+    ap.add_argument("--image-size", type=int, default=192)
+    ap.add_argument("--grid", type=int, default=3)
+    ap.add_argument("--quant-gate", default="strict",
+                    choices=["strict", "warn", "off"],
+                    help="per-checkpoint int8-vs-float agreement gate at "
+                         "startup (int8 accuracy cost is checkpoint-"
+                         "specific); strict refuses to serve on failure")
+    ap.add_argument("--quant-gate-n", type=int, default=32)
+    ap.add_argument("--quant-gate-tol", type=float, default=0.02)
     a = ap.parse_args(argv)
     cfg = ServiceConfig(checkpoint=a.checkpoint, sampler_mode=a.mode,
-                        sampling_steps=a.steps, quant=a.quant)
+                        sampling_steps=a.steps, quant=a.quant,
+                        model_name=a.model, image_size=a.image_size,
+                        grid_size=a.grid, quant_gate=a.quant_gate,
+                        quant_gate_n=a.quant_gate_n,
+                        quant_gate_tol=a.quant_gate_tol)
     if app is not None:
         import uvicorn
 
