@@ -15,6 +15,8 @@ XLA reduces gradients over ICI.
 
 from __future__ import annotations
 
+import json
+import os
 import signal
 import sys
 import threading
@@ -117,8 +119,6 @@ def main(argv=None) -> int:
     is_main = jax.process_index() == 0
 
     if cfg.train.exp_dir:
-        import os
-
         exp_dir = cfg.train.exp_dir if is_main else None
         if is_main:
             os.makedirs(exp_dir, exist_ok=True)
@@ -407,15 +407,30 @@ def main(argv=None) -> int:
                                  jnp.bool_(erng.random() < 0.5))
             yield batch
 
-    # train.epochs is a TOTAL budget: epochs*steps_per_epoch is an absolute
-    # step target, so a resumed run (watchdog relaunch, preemption) trains
-    # only the remainder instead of re-adding the full budget — a late
-    # wedge on a multi-hour rung must not double its wall-clock. Fresh
-    # runs are unchanged (they start at step 0).
+    # train.epochs is a TOTAL budget counted from this RUN's starting step:
+    # target = anchor + epochs*steps_per_epoch, so a resumed run (watchdog
+    # relaunch, preemption) trains only the remainder instead of re-adding
+    # the full budget — a late wedge on a multi-hour rung must not double
+    # its wall-clock. The anchor is 0 for fresh runs and the donor step for
+    # warm starts (train.warm_start restores the step counter so the data
+    # stream cursor and EMA ramp stay continuous); it is persisted in the
+    # exp dir so relaunches — which resume from own checkpoints WITHOUT the
+    # warm_start flag — recompute the same target.
     steps_per_epoch = max(1, len(loader))
-    target_steps = cfg.train.epochs * steps_per_epoch
+    anchor_path = (os.path.join(exp_dir_shared, "step_anchor.json")
+                   if exp_dir_shared else None)
+    if anchor_path and os.path.exists(anchor_path):
+        with open(anchor_path) as f:
+            start_anchor = int(json.load(f)["start_step"])
+    else:
+        start_anchor = int(state.step)
+        if anchor_path and is_main:
+            with open(anchor_path, "w") as f:
+                json.dump({"start_step": start_anchor}, f)
+    target_steps = start_anchor + cfg.train.epochs * steps_per_epoch
     logger.info(f"Training for {cfg.train.epochs} epochs, "
-                f"{steps_per_epoch} steps/epoch (target step {target_steps})")
+                f"{steps_per_epoch} steps/epoch (anchor {start_anchor}, "
+                f"target step {target_steps})")
     # Losses stay ON DEVICE until the log boundary; the host reads one mean
     # back per window. A per-step float(...) would block on the device every
     # step and serialize dispatch (the async dispatch queue is what hides

@@ -63,3 +63,28 @@ def test_resume_trains_only_the_remainder(tmp_path):
          f"train.exp_dir={exp}", "train.epochs=3",
          f"train.resume={exp}/checkpoints")
     assert _last_step(exp) == 24
+
+
+def test_warm_start_gets_its_full_budget(tmp_path):
+    """train.warm_start restores the DONOR's step counter (stream cursor +
+    EMA ramp continuity), so the budget must anchor at that step: the new
+    rung trains its full epochs on top, and ITS resumes (which drop the
+    warm_start flag, like the watchdog does) keep the anchored target via
+    the persisted step_anchor.json."""
+    donor = tmp_path / "donor"
+    _run(tmp_path, "donor", f"train.exp_dir={donor}", "train.epochs=2")
+    assert _last_step(donor) == 16
+
+    rung = tmp_path / "rung"
+    log = _run(tmp_path, "warm", f"train.exp_dir={rung}", "train.epochs=2",
+               f"train.warm_start={donor}/checkpoints")
+    assert "anchor 16, target step 32" in log
+    assert _last_step(rung) == 32
+    anchor = json.loads((rung / "step_anchor.json").read_text())
+    assert anchor == {"start_step": 16}
+
+    # watchdog-style relaunch: resume from own checkpoints, no warm_start
+    log2 = _run(tmp_path, "warm_resume", f"train.exp_dir={rung}",
+                "train.epochs=2", f"train.resume={rung}/checkpoints")
+    assert "anchor 16, target step 32" in log2
+    assert _last_step(rung) == 32
