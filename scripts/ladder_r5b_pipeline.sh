@@ -13,7 +13,7 @@
 # (tools/export_ckpt.py), so no future recycle can erase the ladder.
 #
 #   A. 3x3@192 hard_frac, 10k steps      (~20 min, plateaued 1.0 @7.5k r5a)
-#   B. 12x12@192 warm-start, 15k steps   (~35 min, 0.98 EMA @12.5k r5a)
+#   B. 12x12@192 warm-start, 12.5k steps (~30 min, 0.98 EMA @12.5k r5a)
 #   B2. durable export+commit of grid-12 (insurance vs mid-session recycle)
 #   C. 20x20@320 warm-start, hard_frac=0.25, budget-aware steps
 #      (VERDICT r4 items 1+4: the cliff lever, finally measured)
@@ -111,7 +111,7 @@ train_stage "$GRID3" "" "grid-3 re-climb" 100 \
   model.name=JPDVT model.image_size=192 task.grid_size=3
 
 # ---------------------------------------------------------------- stage B
-train_stage "$GRID12" "" "grid-12 re-climb" 150 \
+train_stage "$GRID12" "" "grid-12 re-climb" 125 \
   model.name=JPDVT model.image_size=192 task.grid_size=12 \
   train.warm_start="$GRID3/checkpoints"
 
@@ -122,7 +122,7 @@ export_stage "$GRID12" "grid-12"
 # 34.2 s per 100 steps measured at 20x20@320 (PERF.md); reserve time for
 # D (eval ~12 min) + D2 (export ~8 min) + E (votes ~30 min) + slack.
 R=$(remaining)
-C_EPOCHS=$(( (R - 3600) / 35 ))
+C_EPOCHS=$(( (R - 4300) / 35 ))
 [ "$C_EPOCHS" -gt 250 ] && C_EPOCHS=250
 [ "$C_EPOCHS" -lt 50 ] && C_EPOCHS=50
 say "stage C budget: ${C_EPOCHS}00 steps (remaining ${R}s)"
@@ -156,10 +156,10 @@ export_stage "$GRID20" "grid-20-hard"
 
 # ---------------------------------------------------------------- stage E
 R=$(remaining)
-if [ "$R" -gt 2400 ]; then
+if [ "$R" -gt 2000 ]; then
   run_eval20 logs/waves20_hard_votes_eval eval.votes=4
 else
-  say "stage E SKIPPED: only ${R}s remain for a ~30 min votes eval"
+  say "stage E SKIPPED: only ${R}s remain for a ~25 min votes eval"
 fi
 
 # -------------------------------------------------------------- stage F/G
