@@ -65,11 +65,18 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     ckpts = [int(s) for s in os.listdir(exp / "checkpoints") if s.isdigit()]
     assert ckpts, "no preemption checkpoint written"
 
-    # resume exactly as the autoresume wrapper would; must finish cleanly
+    # Resume exactly as the autoresume wrapper would: same-style relaunch
+    # with train.resume. train.epochs is an ABSOLUTE budget anchored at the
+    # exp dir's persisted start step (step_anchor.json, anchor 0 here), so
+    # the resumed run trains only the remainder — pick a budget whose
+    # target (epochs * 8 steps/epoch) lands past the preempted step, else
+    # the budget is already spent and the run correctly exits untouched.
+    steps_per_epoch = 64 // 8  # synthetic_n / global_batch_size (COMMON)
+    resume_epochs = max(ckpts) // steps_per_epoch + 1
     rc = subprocess.run(
         [sys.executable, "-m", "jpdvt_mt_ntnu_tpu.train.run_train",
          f"train.exp_dir={exp}", f"train.resume={exp}/checkpoints",
-         "train.epochs=1"] + COMMON,
+         f"train.epochs={resume_epochs}"] + COMMON,
         env=env, cwd=str(tmp_path), capture_output=True, text=True)
     assert rc.returncode == 0, rc.stdout + rc.stderr
     assert f"Resumed from step {max(ckpts)}" in rc.stdout + rc.stderr
