@@ -20,6 +20,7 @@ when comparing activations.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import numpy as np
@@ -172,6 +173,51 @@ def load_npz_params(path: str) -> dict:
             else:
                 flat[k] = z[k]
         return _unflatten(flat)
+
+
+def reassemble_artifact(manifest_path: str, out_npz: str) -> dict:
+    """Reassemble a split-npz durable artifact (tools/export_ckpt.py) into
+    one npz, verifying per-part and whole-file sha256 from the manifest.
+    Returns the parsed manifest."""
+    import hashlib
+    import json
+
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    art_dir = os.path.dirname(os.path.abspath(manifest_path))
+    whole = hashlib.sha256()
+    with open(out_npz, "wb") as out:
+        for part in manifest["parts"]:
+            with open(os.path.join(art_dir, part["file"]), "rb") as pf:
+                chunk = pf.read()
+            got = hashlib.sha256(chunk).hexdigest()
+            if got != part["sha256"]:
+                raise ValueError(
+                    f"integrity failure: {part['file']} sha256 {got} != "
+                    f"manifest {part['sha256']}")
+            whole.update(chunk)
+            out.write(chunk)
+    if whole.hexdigest() != manifest["npz_sha256"]:
+        raise ValueError(
+            f"integrity failure: reassembled npz sha256 {whole.hexdigest()} "
+            f"!= manifest {manifest['npz_sha256']}")
+    return manifest
+
+
+def load_artifact_params(path: str) -> tuple[dict, int]:
+    """Load params (+ the training step they were exported at) from a
+    durable artifact: either a ``*.manifest.json`` (split-npz export,
+    sha256-verified) or a bare flattened-params ``.npz`` (converter
+    output / reassembled export; step 0). The training-side entry point
+    for params-only warm starts (``train.warm_start=artifacts/...``)."""
+    import tempfile
+
+    if path.endswith(".json"):
+        with tempfile.TemporaryDirectory() as tmp:
+            npz = os.path.join(tmp, "params.npz")
+            manifest = reassemble_artifact(path, npz)
+            return load_npz_params(npz), int(manifest.get("step", 0))
+    return load_npz_params(path), 0
 
 
 def convert_checkpoint(torch_path: str, out_path: str, depth: int = 12,

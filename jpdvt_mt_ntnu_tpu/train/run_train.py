@@ -287,22 +287,61 @@ def main(argv=None) -> int:
         # task — reset it to the restored params and re-arm the warmup ramp
         # at the restore step, else EMA validation/eval lags raw by 10-20k
         # steps at decay .9999 (the round-3 24x24 cost).
-        warm = CheckpointManager(cfg.train.warm_start)
-        if warm.latest_step() is None:
-            raise FileNotFoundError(
-                f"train.warm_start={cfg.train.warm_start!r} contains no "
-                "checkpoints")
-        restored = warm.restore(to_ckpt_layout(state))
-        warm.close()
-        restored = TrainState(
-            step=restored.step, params=restored.params,
-            ema_params=jax.tree.map(jnp.copy, restored.params),
-            opt_state=restored.opt_state)
+        ws = cfg.train.warm_start
+        if ws.endswith((".json", ".npz")):
+            # Params-only warm start from a DURABLE ARTIFACT
+            # (tools/export_ckpt.py: a *.manifest.json split-npz export,
+            # sha256-verified on load, or a bare flattened-params npz).
+            # Artifacts carry EMA weights only, so optimizer moments start
+            # fresh (the just-initialized opt_state is shape-correct
+            # zeros); the step counter comes from the manifest so the
+            # anchored step budget and the waves stream cursor continue
+            # where the exporting run stopped. This is what makes the
+            # committed ladder artifacts trainable seeds, not just
+            # eval/serve weights (ROADMAP round 5).
+            from ..tools.torch_convert import load_artifact_params
+
+            loaded, ws_step = load_artifact_params(ws)
+
+            def _take(leaf, v):
+                v = np.asarray(v)
+                if tuple(v.shape) != tuple(leaf.shape):
+                    raise SystemExit(
+                        f"train.warm_start={ws!r}: artifact param shape "
+                        f"{tuple(v.shape)} != model {tuple(leaf.shape)} — "
+                        "wrong model config for this artifact")
+                return jnp.asarray(v, dtype=leaf.dtype)
+
+            try:
+                params = jax.tree.map(_take, state.params, loaded)
+            except ValueError as e:
+                raise SystemExit(
+                    f"train.warm_start={ws!r}: artifact param tree does "
+                    f"not match the model ({e})") from e
+            restored = TrainState(
+                step=jnp.asarray(ws_step,
+                                 dtype=jnp.asarray(state.step).dtype),
+                params=params,
+                ema_params=jax.tree.map(jnp.copy, params),
+                opt_state=state.opt_state)
+            src = "artifact, params-only, fresh optimizer"
+        else:
+            warm = CheckpointManager(ws)
+            if warm.latest_step() is None:
+                raise FileNotFoundError(
+                    f"train.warm_start={ws!r} contains no checkpoints")
+            restored = warm.restore(to_ckpt_layout(state))
+            warm.close()
+            restored = TrainState(
+                step=restored.step, params=restored.params,
+                ema_params=jax.tree.map(jnp.copy, restored.params),
+                opt_state=restored.opt_state)
+            src = "checkpoint"
         if pipelined:
             restored = convert_state(restored, stack_block_params)
         state = jax.device_put(restored, state_sharding)
         ema_anchor = int(state.step)
-        logger.info(f"Warm-started from {cfg.train.warm_start} at step "
+        logger.info(f"Warm-started from {ws} [{src}] at step "
                     f"{ema_anchor} (EMA reset to params, warmup re-armed)")
 
     grid_steps = [

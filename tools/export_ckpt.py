@@ -158,25 +158,12 @@ def export(ckpt_dir: str, out_dir: str, max_part_mb: int) -> str:
 
 
 def reassemble(manifest_path: str, out_npz: str) -> dict:
-    with open(manifest_path) as f:
-        manifest = json.load(f)
-    art_dir = os.path.dirname(os.path.abspath(manifest_path))
-    with open(out_npz, "wb") as out:
-        for part in manifest["parts"]:
-            path = os.path.join(art_dir, part["file"])
-            with open(path, "rb") as pf:
-                chunk = pf.read()
-            got = hashlib.sha256(chunk).hexdigest()
-            if got != part["sha256"]:
-                raise ValueError(
-                    f"integrity failure: {part['file']} sha256 {got} != "
-                    f"manifest {part['sha256']}")
-            out.write(chunk)
-    whole = _sha256(out_npz)
-    if whole != manifest["npz_sha256"]:
-        raise ValueError(f"integrity failure: reassembled npz sha256 "
-                         f"{whole} != manifest {manifest['npz_sha256']}")
-    return manifest
+    # Canonical implementation lives in the package so the trainer can
+    # warm-start straight from an artifact (train.warm_start=*.manifest.json
+    # — jpdvt_mt_ntnu_tpu/tools/torch_convert.py:load_artifact_params).
+    from jpdvt_mt_ntnu_tpu.tools.torch_convert import reassemble_artifact
+
+    return reassemble_artifact(manifest_path, out_npz)
 
 
 def restore_smoke(manifest_path: str, solve_n: int, as_npz: str = "") -> dict:
